@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Used by tests and bench.py; the driver supplies its own session to
+``__spark_entry__.entry``/``queries`` so query code never builds one.
+
+Scale notes (100 TB design target):
+- AQE on: runtime coalescing of small shuffle partitions, skew-join
+  splitting for Zipfian keys (DBLP venues/authors, TPC-H custkeys).
+- shuffle.partitions sized to cores locally; on a real cluster this
+  is a starting hint only — AQE re-plans from map output statistics.
+- Arrow enabled for the (few) Pandas-UDF paths (multimodal decode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mrdbpl-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,67 @@
+"""Parquet sources for the driver fixtures.
+
+Replaces the reference's two-stage ingestion (whole-file XML DOM →
+line-record text file, dblpXMLparser.scala:24-103; then per-record
+re-parse in every mapper, Homework2.scala:39) with a columnar scan:
+Spark's parquet reader gives partitioned parallel input, predicate
+pushdown and column pruning for free — the things the reference
+hand-rolls with 800 fixed splits and early mapper returns
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated TPC-H-ish fixture tables (TESTDATA.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# DBLP-shaped fixture for the six reference queries (FIXTURES.md §A).
+# Generated deterministically by fixtures/make_publications.py; the
+# scale factor is irrelevant to these queries so one fixed file serves
+# smoke/correctness/bench alike.
+PUBLICATIONS_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "publications.parquet",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain `spark.read.parquet` so filters and
+    projections placed on the result reach the scan (PushedFilters /
+    ReadSchema in .explain)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def publications(spark: SparkSession, path: str | None = None) -> DataFrame:
+    """The DBLP-shaped publications table (FIXTURES.md §A): one row per
+    publication record — the reference's one-XML-element-per-line model
+    (dblpXMLparser.scala:96) flattened to typed columns, with repeated
+    XML fields as array<string>."""
+    return spark.read.parquet(path or PUBLICATIONS_PATH)
