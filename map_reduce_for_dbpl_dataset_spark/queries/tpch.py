@@ -129,3 +129,834 @@ ORACLE_SQL = {
     "tpch_revenue_by_nation": SQL_REVENUE_BY_NATION,
     "tpch_pricing_summary": SQL_PRICING_SUMMARY,
 }
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter / projection (F1-F4, P2: pushdown must reach the scan)
+# ---------------------------------------------------------------------------
+def q_scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown demo: .explain shows PushedFilters
+    on l_shipdate/l_quantity and a 4-column ReadSchema — the reference
+    does this by hand with early mapper returns (Homework2.scala:164-166).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+SQL_SCAN_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+  AND l_quantity > 45
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family: distinct aggs, rollup, cube, grouping sets, pivot
+# ---------------------------------------------------------------------------
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) — absent from the reference (SURVEY.md §2.2
+    checklist); Spark expands it to a two-phase partial-distinct
+    aggregate, no single-node bottleneck."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_DISTINCT_AGG = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): subtotal rows carry NULL group keys in
+    both engines; money through DECIMAL so totals hash-match."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(D)).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via spark.sql — the SQL front-end is part of the
+    engine surface (registry queries are DataFrame or SQL alike)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never inferred — inference
+    would scan the fact table twice and break plan stability)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_orderpriority")
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in ("O", "F", "P")],
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join family: left, semi, anti, full outer, non-equi, as-of
+# ---------------------------------------------------------------------------
+def q_join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers LEFT JOIN orders, then the
+    distribution of per-customer order counts (zero included)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_custs")).orderBy("c_count")
+
+
+SQL_JOIN_LEFT_ORDER_COUNTS = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS n_custs FROM per_cust GROUP BY c_count ORDER BY c_count
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers holding at least one open order — the probe
+    side streams, the build side deduplicates inside the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_JOIN_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (TPC-H Q22 shape): customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER over per-nation customer/supplier counts."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.withColumnRenamed("nationkey", "c_nk")
+        .join(s.withColumnRenamed("nationkey", "s_nk"), F.col("c_nk") == F.col("s_nk"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+SQL_JOIN_FULL_OUTER = """
+WITH c AS (SELECT c_nationkey AS c_nk, count(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS s_nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(c_nk, s_nk) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c_nk = s_nk
+ORDER BY nationkey
+"""
+
+
+def q_join_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi residual: lineitems shipped > 60 days after
+    the order date. The equi key keeps this a hash join; the range
+    predicate evaluates as a post-join filter — no nested loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_JOIN_NONEQUI = """
+SELECT o_orderpriority, count(*) AS n_late
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True non-equi band join: parts bucketed into price bands.
+    The bands side is tiny and broadcast — a BroadcastNestedLoopJoin
+    over 3 rows, which is the right physical plan; at scale the fact
+    side never shuffles."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0.0, 500.0, "low"), (500.0, 1200.0, "mid"), (1200.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= F.col("lo")) & (p.p_retailprice < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast(D)).cast("double").alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+SQL_JOIN_RANGE_BANDS = """
+SELECT band, count(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part
+JOIN (VALUES (0.0, 500.0, 'low'), (500.0, 1200.0, 'mid'), (1200.0, 1e9, 'high'))
+     AS bands(lo, hi, band)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band ORDER BY band
+"""
+
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks up the user's
+    most recent order as of the event time. Right side is pre-deduped
+    to one row per (key, time) so the match is deterministic."""
+    from ..operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return asof_join(
+        events,
+        orders,
+        on=["user_id"],
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["last_orderkey"],
+        how="inner",
+    ).select("event_id", "user_id", "last_orderkey")
+
+
+SQL_ASOF_LATEST_ORDER = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT event_id, e.user_id AS user_id, last_orderkey
+FROM events e ASOF JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions: frames, lag/lead, ntile/percentiles, per-group top-k
+# ---------------------------------------------------------------------------
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running + moving-window frames (rowsBetween), decimal-exact."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(D)).over(run).cast("double").alias("running_total"),
+        F.round(F.avg(F.col("o_totalprice").cast(D)).over(mov), 6).cast("double").alias("moving_avg3"),
+    )
+
+
+SQL_WINDOW_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_total,
+  CAST(ROUND(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_mov, 6) AS DOUBLE) AS moving_avg3
+FROM orders
+WINDOW
+  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days between a customer's consecutive orders."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date")).alias("days_since_prev"),
+    )
+
+
+SQL_WINDOW_LAG_GAP = """
+SELECT o_custkey, o_orderkey,
+  date_diff('day',
+            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS days_since_prev
+FROM orders
+"""
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking analytics: quartile, percent_rank, cume_dist over
+    customer balances (deterministic tie-break on custkey)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_NTILE = """
+SELECT c_custkey,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def q_top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k on fixtures via operators/topk.py: Spark >= 3.5
+    plans WindowGroupLimit, so each task keeps <= 3 rows per customer
+    before the exchange — the distributed version of the reference's
+    min-eviction map (Homework2.scala:92-126)."""
+    from ..operators.topk import top_k_per_group
+
+    o = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    )
+
+
+SQL_TOP3_ORDERS_PER_CUST = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT over nation keys that have
+    customers vs suppliers, tagged by provenance."""
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    c_only = cn.subtract(sn).withColumn("tag", F.lit("customer_only"))
+    s_only = sn.subtract(cn).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(c_only).unionByName(s_only).orderBy("tag", "nationkey")
+
+
+SQL_SET_OPS_NATIONS = """
+WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS tag FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'customer_only' AS tag FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS tag FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+ORDER BY tag, nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (string / date / math / conditional / json / array)
+# ---------------------------------------------------------------------------
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%bolt%"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.substring("p_type", 1, 4).alias("type4"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_extract("p_brand", r"#(\d+)", 1).cast("int").alias("brand_num"),
+            F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+SQL_SCALAR_STRING = r"""
+SELECT p_partkey, upper(p_name) AS uname, substring(p_type, 1, 4) AS type4,
+       length(p_name) AS name_len,
+       CAST(regexp_extract(p_brand, '#(\d+)', 1) AS INT) AS brand_num,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       replace(p_name, ' ', '_') AS snake
+FROM part WHERE p_name LIKE '%bolt%' ORDER BY p_partkey
+"""
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mon"),
+        (F.dayofweek(d) - 1).alias("dow"),  # normalize: 0=Sunday in both engines
+        F.trunc(d, "month").alias("month_start"),
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("eom"),
+    )
+
+
+SQL_SCALAR_DATE = """
+SELECT o_orderkey,
+       year(CAST(o_orderdate AS DATE)) AS yr,
+       quarter(CAST(o_orderdate AS DATE)) AS qtr,
+       month(CAST(o_orderdate AS DATE)) AS mon,
+       dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       last_day(CAST(o_orderdate AS DATE)) AS eom
+FROM orders
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.ceil("l_discount" ).cast("bigint").alias("disc_ceil"),
+        (F.col("l_partkey") % 7).alias("pk_mod7"),
+        F.round(F.pow("l_tax", 2), 8).alias("tax_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+    )
+
+
+SQL_SCALAR_MATH = """
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+       CAST(ceil(l_discount) AS BIGINT) AS disc_ceil,
+       l_partkey % 7 AS pk_mod7,
+       round(pow(l_tax, 2), 8) AS tax_sq,
+       abs(l_quantity - 25) AS qty_dev
+FROM lineitem
+"""
+
+
+def q_case_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "fast")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "normal")
+        .otherwise("slow")
+    )
+    return (
+        o.select(tier.alias("tier"), "o_totalprice")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("total"),
+        )
+        .orderBy("tier")
+    )
+
+
+SQL_CASE_TIERS = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'fast'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+            ELSE 'slow' END AS tier,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY 1 ORDER BY tier
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, count(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + predicates: per-user sorted distinct event
+    types, arity, membership test."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .select(
+            "user_id",
+            "types",
+            F.size("types").alias("n_types"),
+            F.array_contains("types", "purchase").alias("has_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_ARRAY_OPS = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       len(list(DISTINCT event_type)) AS n_types,
+       list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery: Catalyst rewrites to a left-semi hash join."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey
+        """
+    )
+
+
+SQL_SUBQUERY_IN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+ORDER BY o_orderkey
+"""
+
+
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: suppliers richer than their nation's
+    average — decorrelated by Catalyst into an aggregate + join."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM supplier s1
+        WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier s2
+                           WHERE s2.s_nationkey = s1.s_nationkey)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+SQL_SUBQUERY_CORRELATED = """
+SELECT s_suppkey, s_name
+FROM supplier s1
+WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = s1.s_nationkey)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch form; streaming twin in streaming/)
+# ---------------------------------------------------------------------------
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows over event time."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in exactly
+    two windows; Spark's window() enumerates them without self-join."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH ex AS (
+  SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - off) * 1000000 AS BIGINT)) AS window_start
+  FROM events, (VALUES (0), (1800)) AS t(off)
+)
+SELECT window_start, count(*) AS n_events
+FROM ex GROUP BY 1 ORDER BY window_start
+"""
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — Spark's
+    session_window works identically in batch and streaming; oracle is
+    the classic gaps-and-islands rewrite."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_EVENTS_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+QUERIES.update(
+    {
+        "tpch_scan_filter_project": q_scan_filter_project,
+        "tpch_distinct_agg": q_distinct_agg,
+        "tpch_rollup_orders": q_rollup_orders,
+        "tpch_cube_lineitem": q_cube_lineitem,
+        "tpch_grouping_sets": q_grouping_sets,
+        "tpch_pivot_status": q_pivot_status,
+        "tpch_join_left_order_counts": q_join_left_order_counts,
+        "tpch_join_semi": q_join_semi,
+        "tpch_join_anti": q_join_anti,
+        "tpch_join_full_outer": q_join_full_outer,
+        "tpch_join_nonequi": q_join_nonequi,
+        "tpch_join_range_bands": q_join_range_bands,
+        "tpch_asof_latest_order": q_asof_latest_order,
+        "tpch_window_running_total": q_window_running_total,
+        "tpch_window_lag_gap": q_window_lag_gap,
+        "tpch_window_ntile": q_window_ntile,
+        "tpch_top3_orders_per_cust": q_top3_orders_per_cust,
+        "tpch_set_ops_nations": q_set_ops_nations,
+        "tpch_scalar_string": q_scalar_string,
+        "tpch_scalar_date": q_scalar_date,
+        "tpch_scalar_math": q_scalar_math,
+        "tpch_case_tiers": q_case_tiers,
+        "tpch_json_extract": q_json_extract,
+        "tpch_array_ops": q_array_ops,
+        "tpch_subquery_in": q_subquery_in,
+        "tpch_subquery_correlated": q_subquery_correlated,
+        "tpch_events_tumbling": q_events_tumbling,
+        "tpch_events_sliding": q_events_sliding,
+        "tpch_events_session": q_events_session,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tpch_scan_filter_project": SQL_SCAN_FILTER_PROJECT,
+        "tpch_distinct_agg": SQL_DISTINCT_AGG,
+        "tpch_rollup_orders": SQL_ROLLUP_ORDERS,
+        "tpch_cube_lineitem": SQL_CUBE_LINEITEM,
+        "tpch_grouping_sets": SQL_GROUPING_SETS,
+        "tpch_pivot_status": SQL_PIVOT_STATUS,
+        "tpch_join_left_order_counts": SQL_JOIN_LEFT_ORDER_COUNTS,
+        "tpch_join_semi": SQL_JOIN_SEMI,
+        "tpch_join_anti": SQL_JOIN_ANTI,
+        "tpch_join_full_outer": SQL_JOIN_FULL_OUTER,
+        "tpch_join_nonequi": SQL_JOIN_NONEQUI,
+        "tpch_join_range_bands": SQL_JOIN_RANGE_BANDS,
+        "tpch_asof_latest_order": SQL_ASOF_LATEST_ORDER,
+        "tpch_window_running_total": SQL_WINDOW_RUNNING_TOTAL,
+        "tpch_window_lag_gap": SQL_WINDOW_LAG_GAP,
+        "tpch_window_ntile": SQL_WINDOW_NTILE,
+        "tpch_top3_orders_per_cust": SQL_TOP3_ORDERS_PER_CUST,
+        "tpch_set_ops_nations": SQL_SET_OPS_NATIONS,
+        "tpch_scalar_string": SQL_SCALAR_STRING,
+        "tpch_scalar_date": SQL_SCALAR_DATE,
+        "tpch_scalar_math": SQL_SCALAR_MATH,
+        "tpch_case_tiers": SQL_CASE_TIERS,
+        "tpch_json_extract": SQL_JSON_EXTRACT,
+        "tpch_array_ops": SQL_ARRAY_OPS,
+        "tpch_subquery_in": SQL_SUBQUERY_IN,
+        "tpch_subquery_correlated": SQL_SUBQUERY_CORRELATED,
+        "tpch_events_tumbling": SQL_EVENTS_TUMBLING,
+        "tpch_events_sliding": SQL_EVENTS_SLIDING,
+        "tpch_events_session": SQL_EVENTS_SESSION,
+    }
+)

@@ -44,7 +44,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain `spark.read.parquet` so filters and
     projections placed on the result reach the scan (PushedFilters /
     ReadSchema in .explain)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        path = _nanos_normalized(path)
+    return spark.read.parquet(path)
+
+
+def _nanos_normalized(path: str) -> str:
+    """Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) columns
+    (SPARK-40819 — no nanosecond TimestampType), and the driver's
+    events fixture is written with pandas-default ns precision. This
+    ingestion shim rewrites such files once per (path, mtime) into a
+    /tmp cache with microsecond precision — the same truncation DuckDB
+    applies when it reads NANOS parquet, so both engines see identical
+    values. At production scale this normalization belongs in the
+    ingest job (a one-line pyarrow cast per file batch); queries stay
+    unchanged either way.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    if not any(
+        isinstance(f.type, pa.TimestampType) and f.type.unit == "ns" for f in schema
+    ):
+        return path
+    st = os.stat(path)
+    cache = f"/tmp/mrdbpl_norm_{abs(hash((path, st.st_mtime_ns, st.st_size)))}.parquet"
+    if not os.path.exists(cache):
+        table = pq.read_table(path)
+        fields = [
+            pa.field(f.name, pa.timestamp("us"))
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+            else f
+            for f in schema
+        ]
+        tmp = cache + ".tmp"
+        # safe=False: ns -> us truncation, matching DuckDB's own read of
+        # NANOS parquet (verified identical on the fixture).
+        pq.write_table(
+            table.cast(pa.schema(fields), safe=False), tmp, compression="snappy"
+        )
+        os.replace(tmp, cache)
+    return cache
 
 
 def load_tables(
