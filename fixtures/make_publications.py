@@ -166,7 +166,11 @@ def main() -> None:
             authors=[rng.choice(AUTHOR_POOL[500:520])])
 
     # --- Zipfian background mass (~4000 rows) ---
+    # JOURNALS[0] is reserved for the Q1 rank-10 tie construction; the
+    # background must not perturb its counts.
+    bg_journals = JOURNALS[1:]
     venue_weights = [1.0 / (i + 1) for i in range(20)]
+    bg_weights = venue_weights[1:]
     for _ in range(4000):
         kind = rng.choices(
             ["article", "inproceedings", "incollection", "book", "proceedings"],
@@ -182,7 +186,7 @@ def main() -> None:
         authors = [AUTHOR_POOL[i] for i in sorted(auth_idx)]
         year = 1960 + min(int(rng.expovariate(0.05)), 65)
         if kind == "article":
-            add(kind=kind, journal=rng.choices(JOURNALS, weights=venue_weights)[0],
+            add(kind=kind, journal=rng.choices(bg_journals, weights=bg_weights)[0],
                 authors=authors, year=year)
         elif kind in ("inproceedings", "incollection"):
             add(kind=kind, booktitle=rng.choices(CONFS, weights=venue_weights)[0],

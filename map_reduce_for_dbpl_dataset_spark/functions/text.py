@@ -1,0 +1,90 @@
+"""Text-analysis expression library (LLM-pipeline extensions,
+SURVEY.md §2.2 checklist — no reference counterpart).
+
+Everything is built from JVM-side Catalyst expressions (split /
+higher-order array functions / md5) — no Python UDFs in any hot path.
+
+Cross-engine portability rule: any value that participates in an
+oracle comparison is produced by constructs with identical semantics
+in Spark SQL and DuckDB (md5, floor, integer modular arithmetic) —
+floating rounding goes through floor(x * 1e6) / 1e6, never
+round-half-to-even vs half-up ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 60-bit portable token hash: md5 hex prefix as an integer. Identical
+# in DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT. Used instead of
+# xxhash64 (engine-specific) so minhash/simhash signatures are
+# bit-identical across engines; at production scale swap in
+# F.xxhash64 via the hash_fn parameter of the dedup operators.
+def hash60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def normalize_text(c: Column) -> Column:
+    """lower + collapse whitespace + trim: canonical form for
+    fingerprinting and tokenization."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize_text(c), " ")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-word shingles: the standard dedup unit (MinHash input).
+    transform(sequence(...)) keeps this inside codegen — one pass,
+    no explode until the caller wants rows. Guarded for short inputs:
+    sequence(1, 0) in Spark is DESCENDING [1, 0], not empty."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(c: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — the exact-dedup
+    key (byte-identical content modulo whitespace/case)."""
+    return F.md5(normalize_text(c))
+
+
+def floor6(c: Column) -> Column:
+    """floor to 6 decimals — deterministic across engines (no
+    round-half ties)."""
+    return F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "un"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "mit"),
+    "fr": ("le", "la", "de", "et", "les", "des", "une", "que", "pour", "dans"),
+}
+
+
+def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Non-distinct count of tokens appearing in the marker list."""
+    lit_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+
+
+def langid_expr(toks: Column) -> Column:
+    """n-gram-free language-ID heuristic: stopword-marker voting with a
+    fixed preference order (en > es > de > fr) on ties."""
+    h = {lang: marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    return (
+        F.when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), "en")
+        .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), "es")
+        .when(h["de"] >= h["fr"], "de")
+        .otherwise("fr")
+    )

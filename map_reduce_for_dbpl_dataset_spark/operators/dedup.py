@@ -1,0 +1,247 @@
+"""Deduplication family (LLM-pipeline extensions).
+
+Four escalating strategies over a (id, text) corpus:
+
+- exact:   md5 content fingerprint, hash groupBy — one shuffle.
+- minhash: word-shingle MinHash signatures + LSH banding; candidate
+  pairs share a band bucket, then exact Jaccard verification. The
+  classic sub-quadratic near-dup join.
+- simhash: 32-bit sign-of-weighted-bits sketch; candidates share one
+  of four 8-bit chunks (pigeonhole: hamming <= 3 implies an equal
+  chunk), verified by bit_count(xor).
+- ngram_jaccard: exact sparse similarity join — explode shingles,
+  join on shingle, |A∩B| by count, Jaccard from set sizes. Exact but
+  explodes on very common shingles; at 100 TB use minhash/simhash, or
+  add prefix filtering.
+
+Scale design: everything is groupBy/join — no collect, no driver
+loops, no UDFs. Signatures are K aggregate columns computed in ONE
+hash aggregate (not K shuffles). Hashing is the portable md5-based
+hash60 by default so DuckDB oracles reproduce signatures bit-for-bit;
+pass hash_fn=F.xxhash64 for the cheaper production hash (Spark-only
+semantics, same plan shape).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, hash60
+
+# MinHash universe: permutation hashes h_k(x) = (a_k * (x mod P) + b_k) mod P
+# over the 60-bit token hash. P prime; constants fixed (seeded) so Spark
+# and the DuckDB oracle produce identical signatures.
+MINHASH_P = 1_000_003
+N_PERM = 16
+N_BANDS = 4  # 4 bands x 4 rows: ~0.5 Jaccard LSH threshold
+_rng = random.Random(0xC0FFEE)
+PERMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P)) for _ in range(N_PERM)
+]
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-fingerprint dedup: every row tagged with its canonical
+    (minimum-id) representative and the duplicate-group size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("keep_id"))
+    )
+
+
+def _perm_min(h: Column, a: int, b: int) -> Column:
+    return F.min((F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P)
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    hash_fn: Callable[[Column], Column] = hash60,
+) -> DataFrame:
+    """(id, array<shingle>) -> (id, sig_0..sig_{K-1}).
+
+    One explode + ONE hash aggregate computing all K permutation
+    minima as separate aggregate columns — K never multiplies the
+    shuffle.
+    """
+    h = hash_fn(F.col("shingle")).alias("h")
+    exploded = shingled.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(F.col(shingle_col))).alias("shingle")
+    ).select(id_col, h)
+    return exploded.groupBy(id_col).agg(
+        *[_perm_min(F.col("h"), a, b).alias(f"sig_{k}") for k, (a, b) in enumerate(PERMS)]
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Band the signature (N_BANDS groups of N_PERM/N_BANDS rows) and
+    emit distinct id pairs (a < b) sharing any band bucket."""
+    rows_per_band = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"sig_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("key"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, shingled: DataFrame, id_col: str, shingle_col: str
+) -> DataFrame:
+    """Attach exact Jaccard over distinct shingle sets to candidate
+    pairs (array_intersect on the collected sets — pairs are few after
+    LSH, so the per-pair set math is cheap)."""
+    sets_df = shingled.select(
+        F.col(id_col).alias("_sid"), F.array_distinct(F.col(shingle_col)).alias("_sset")
+    )
+    out = (
+        pairs.join(sets_df.withColumnRenamed("_sid", "id_a").withColumnRenamed("_sset", "set_a"), "id_a")
+        .join(sets_df.withColumnRenamed("_sid", "id_b").withColumnRenamed("_sset", "set_b"), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("set_a") + F.size("set_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_lsh_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float = 0.8,
+    hash_fn: Callable[[Column], Column] = hash60,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    Jaccard >= threshold."""
+    sigs = minhash_signatures(shingled, id_col, shingle_col, hash_fn)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    return verify_jaccard(cands, shingled, id_col, shingle_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_values(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    hash_fn: Callable[[Column], Column] = hash60,
+) -> DataFrame:
+    """(id, array<shingle>) -> (id, simhash int32-in-long): per bit,
+    sum +-1 over shingle hashes; bit set iff the sum is >= 0. One
+    explode + one aggregate with 32 conditional-sum columns."""
+    h = hash_fn(F.col("shingle")).alias("h")
+    exploded = shingled.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(F.col(shingle_col))).alias("shingle")
+    ).select(id_col, h)
+    bit_sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s_{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    max_hamming: int = 3,
+    hash_fn: Callable[[Column], Column] = hash60,
+) -> DataFrame:
+    """Near-dup pairs by simhash: candidates share one of
+    SIMHASH_CHUNKS 8-bit chunks (pigeonhole guarantees recall for
+    hamming <= SIMHASH_CHUNKS - 1), verified with bit_count(xor)."""
+    sims = simhash_values(shingled, id_col, shingle_col, hash_fn)
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("chunk"),
+                F.shiftright(F.col("simhash"), ci * chunk_w)
+                .bitwiseAND(F.lit((1 << chunk_w) - 1))
+                .alias("key"),
+            )
+            for ci in range(SIMHASH_CHUNKS)
+        ]
+    )
+    banded = sims.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "chunk", "key")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "chunk", "key")
+    return (
+        left.join(right, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame, id_col: str, shingle_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Exact sparse similarity join: |A∩B| via shingle-explode
+    self-join + count; Jaccard from set sizes. No candidate loss."""
+    ex = shingled.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.col(shingle_col))).alias("shingle"),
+    )
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    common = (
+        ex.select(F.col("_id").alias("id_a"), "shingle")
+        .join(ex.select(F.col("_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

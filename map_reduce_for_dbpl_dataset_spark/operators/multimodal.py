@@ -1,0 +1,83 @@
+"""Multimodal column plumbing (LLM-pipeline extension).
+
+Treats media as opaque `binary` payload columns with typed metadata
+structs, processed by Arrow-batched Python (mapInPandas) — the one
+place the engine deliberately leaves the JVM, because media decoding
+is a Python-library affair. The Spark-side contract (schema,
+partition preservation, batch iteration) is real and tested; the
+actual image/audio decode is STUBBED (no codec libraries in this
+container): decode_media() raises NotImplementedError for non-text
+MIME types, and the tested path uses text/plain payloads whose
+"features" are deterministic byte statistics.
+
+At 100 TB: mapInPandas streams Arrow batches executor-side — no
+collect, no per-row Python, memory bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch; CPU-heavy decode scales
+with cores, so repartition to cores*4 before this stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, first_byte int, mean8_micro long"
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a multimodal table: utf-8 payload bytes + metadata
+    struct — the layout a real pipeline would have for image/audio
+    blobs (payload binary, meta.mime, meta.n_bytes)."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> bytes:
+    """Decode a media payload. STUB: real decoders (PIL/torchaudio/
+    pyav) are not available in this environment; only the text path
+    is implemented. The function boundary is the real contract a
+    production decode stage would fill in."""
+    if mime == "text/plain":
+        return payload
+    raise NotImplementedError(
+        f"decoder for {mime!r} not bundled; plug a real codec here"
+    )
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (id, payload, meta):
+    byte-statistics features, deterministic, oracle-checkable."""
+    from map_reduce_for_dbpl_dataset_spark.session import ship_package
+
+    ship_package(payloads.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = [decode_media(p, m) for p, m in zip(pdf["payload"], pdf["meta"].map(lambda s: s["mime"]))]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].map(lambda s: s["mime"]),
+                    "n_bytes": [len(b) for b in raw],
+                    "first_byte": [b[0] if len(b) else -1 for b in raw],
+                    "mean8_micro": [
+                        int(sum(b[:8]) / 8.0 * 1_000_000) if len(b) >= 8 else -1
+                        for b in raw
+                    ],
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=FEATURE_SCHEMA)

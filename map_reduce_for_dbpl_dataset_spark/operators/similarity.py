@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (LLM-pipeline extension).
+
+Two paths:
+
+- brute_force_topk: exact quantized-cosine top-k. The query set is
+  broadcast (it is small by construction); the corpus never shuffles
+  — each partition scores its slice and WindowGroupLimit keeps k rows
+  per query before the exchange. This is the correct baseline and the
+  right plan up to ~10^7 corpus rows per executor-core batch.
+
+- lsh_ann_topk: random-hyperplane LSH. Plane coefficients are
+  deterministic integers derived from an LCG (portable to the DuckDB
+  oracle); bucket = sign-bit string of the plane dot products.
+  Candidates = same bucket as the query (single-probe), ranked by
+  exact quantized cosine. Sub-linear scan at the cost of recall —
+  the scale path for 100 TB corpora, where the bucket join replaces
+  the full scan with a shuffle on bucket ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_q, dot_q, norm2_q, quantize
+
+# Deterministic hyperplane coefficients: c(j, i) from a 31-bit LCG,
+# shifted to be sign-balanced. Reproducible in SQL as
+# ((1103515245 * (j*dim + i) + 12345) % 2147483648) % 1001 - 500.
+N_PLANES = 8
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
+
+
+def plane_coef(j: int, i: int, dim: int) -> int:
+    return ((_LCG_A * (j * dim + i) + _LCG_C) % _LCG_M) % 1001 - 500
+
+
+def _bucket_expr(qvec: Column, dim: int) -> Column:
+    """Sign-bit bucket id from N_PLANES hyperplane dot products over
+    the quantized vector — pure codegen arithmetic, no UDF."""
+    bits = []
+    for j in range(N_PLANES):
+        coefs = F.array(*[F.lit(plane_coef(j, i, dim)) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(qvec, coefs, lambda x, c: x * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact top-k neighbors (quantized cosine) of each query vector.
+    Returns (query_id, neighbor_id, cos) with deterministic
+    (cos desc, neighbor_id asc) ranking."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col), scale).alias("_cq")
+    ).withColumn("_cn2", norm2_q(F.col("_cq")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), quantize(F.col(vec_col), scale).alias("_qq")
+    ).withColumn("_qn2", norm2_q(F.col("_qq")))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_dot", dot_q(F.col("_qq"), F.col("_cq")))
+        .withColumn("cos", cosine_q(F.col("_dot"), F.col("_qn2"), F.col("_cn2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_micro"))
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    dim: int,
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane
+    bucket; exact quantized cosine ranks within the bucket."""
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col), scale).alias("_cq"))
+        .withColumn("_cn2", norm2_q(F.col("_cq")))
+        .withColumn("bucket", _bucket_expr(F.col("_cq"), dim))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), quantize(F.col(vec_col), scale).alias("_qq"))
+        .withColumn("_qn2", norm2_q(F.col("_qq")))
+        .withColumn("bucket", _bucket_expr(F.col("_qq"), dim))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_dot", dot_q(F.col("_qq"), F.col("_cq")))
+        .withColumn("cos", cosine_q(F.col("_dot"), F.col("_qn2"), F.col("_cn2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_micro"))
+    )

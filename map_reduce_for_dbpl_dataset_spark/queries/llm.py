@@ -1,0 +1,452 @@
+"""LLM-pipeline extension queries over the documents/embeddings
+fixtures (SURVEY.md §2.2 `[extension]`, BASELINE.json north star).
+
+Families: exact dedup, MinHash+LSH near-dup, SimHash near-dup, exact
+n-gram-Jaccard similarity join, brute-force + LSH ANN over
+embeddings, text analysis (token stats, quality, language-ID,
+fingerprinting).
+
+Every query has a full DuckDB oracle: the sketches are built from
+engine-portable primitives (md5-based hash60, integer modular
+arithmetic, floor) so signatures, buckets, and scores are
+bit-identical across engines — the oracle re-implements the SAME
+algorithm, it does not approximate it. SQL is generated from the same
+Python constants (PERMS, plane coefficients) the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    floor6,
+    langid_expr,
+    marker_hits,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
+from ..operators.dedup import (
+    MINHASH_P,
+    N_BANDS,
+    N_PERM,
+    PERMS,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from ..operators.similarity import (
+    N_PLANES,
+    brute_force_topk,
+    lsh_ann_topk,
+    plane_coef,
+)
+from ..sources.parquet import load_table
+
+EMB_DIM = 64
+N_QUERY_VECS = 10
+
+
+def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", word_shingles(tokens(F.col("text")), 3).alias("shingles"))
+
+
+# SQL prelude mirroring tokens()/word_shingles(): normalize, split,
+# 3-word shingles (DuckDB list slicing is 1-based inclusive).
+_SH_CTE = """
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+              ELSE [] END AS ss
+  FROM toks
+)
+"""
+
+_H60 = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+
+
+# --- exact dedup -------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").select(
+        "doc_id", "fp", "keep_id", "n_copies", "is_canonical"
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH f AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+       count(*) OVER (PARTITION BY fp) AS n_copies,
+       doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+FROM f
+"""
+
+
+# --- MinHash + LSH near-dup --------------------------------------------------
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _docs_shingled(spark, sf_dir)
+    out = minhash_lsh_pairs(sh, "doc_id", "shingles", threshold=0.8)
+    return out.select(
+        F.col("id_a"), F.col("id_b"), F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro")
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_sql() -> str:
+    rows_per_band = N_PERM // N_BANDS
+    sig_exprs = ",\n    ".join(
+        f"min(({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}) AS sig_{k}"
+        for k, (a, b) in enumerate(PERMS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band, concat_ws('-', {cols}) AS key FROM sigs".format(
+            bi=bi,
+            cols=", ".join(f"sig_{bi * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for bi in range(N_BANDS)
+    )
+    return f"""
+WITH {_SH_CTE},
+ex AS (
+  SELECT doc_id, {_H60} AS h
+  FROM (SELECT doc_id, unnest(ss) AS shingle FROM sh)
+),
+sigs AS (
+  SELECT doc_id,
+    {sig_exprs}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.ss, sb.ss))::DOUBLE
+           / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)))::DOUBLE AS j
+  FROM cands
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, CAST(floor(j * 1e6) AS BIGINT) AS jaccard_micro
+FROM verified WHERE j >= 0.8 ORDER BY id_a, id_b
+"""
+
+
+# --- exact n-gram Jaccard similarity join ------------------------------------
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _docs_shingled(spark, sf_dir)
+    out = ngram_jaccard_pairs(sh, "doc_id", "shingles", threshold=0.8)
+    return out.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro")
+    ).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SH_CTE},
+ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b,
+         n_common::DOUBLE / (sa.sz + sb.sz - n_common)::DOUBLE AS j
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, CAST(floor(j * 1e6) AS BIGINT) AS jaccard_micro
+FROM j WHERE j >= 0.8 ORDER BY id_a, id_b
+"""
+
+
+# --- SimHash near-dup --------------------------------------------------------
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _docs_shingled(spark, sf_dir)
+    return simhash_near_pairs(sh, "doc_id", "shingles", max_hamming=3).orderBy("id_a", "id_b")
+
+
+def _simhash_sql() -> str:
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim_terms = " + ".join(
+        f"CASE WHEN s_{i} >= 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    chunk_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {ci} AS chunk, (simhash >> {ci * chunk_w}) & {(1 << chunk_w) - 1} AS key FROM sims"
+        for ci in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH {_SH_CTE},
+ex AS (
+  SELECT doc_id, {_H60} AS h
+  FROM (SELECT doc_id, unnest(ss) AS shingle FROM sh)
+),
+bitsums AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM ex GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, CAST({sim_terms} AS BIGINT) AS simhash FROM bitsums
+),
+chunks AS (
+{chunk_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b
+"""
+
+
+# --- ANN over embeddings -----------------------------------------------------
+_QUANT = "[CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding]"
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(e, queries, "vec_id", "embedding", "vec_id", k=5).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+SQL_ANN_BRUTE_TOPK = f"""
+WITH q0 AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+n AS (
+  SELECT vec_id, q,
+         CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2
+  FROM q0
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum([qs.q[i] * c.q[i] for i in range(1, {EMB_DIM + 1})]) AS DOUBLE)
+           / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+  FROM n qs JOIN n c ON c.vec_id != qs.vec_id
+  WHERE qs.vec_id < {N_QUERY_VECS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+FROM ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return lsh_ann_topk(
+        e, queries, "vec_id", "embedding", "vec_id", dim=EMB_DIM, k=3
+    ).orderBy("query_id", "neighbor_id")
+
+
+def _ann_lsh_sql() -> str:
+    plane_rows = ",\n    ".join(
+        "({j}, [{coefs}])".format(
+            j=j, coefs=", ".join(str(plane_coef(j, i, EMB_DIM)) for i in range(EMB_DIM))
+        )
+        for j in range(N_PLANES)
+    )
+    return f"""
+WITH q0 AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+n AS (
+  SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2 FROM q0
+),
+planes(j, coefs) AS (
+  SELECT * FROM (VALUES
+    {plane_rows}
+  ) AS p(j, coefs)
+),
+dots AS (
+  SELECT n.vec_id, p.j,
+         CAST(list_sum([n.q[i] * p.coefs[i] for i in range(1, {EMB_DIM + 1})]) AS BIGINT) AS d
+  FROM n CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
+scored AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum([qs.q[i] * c.q[i] for i in range(1, {EMB_DIM + 1})]) AS DOUBLE)
+           / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+  FROM nb qs JOIN nb c ON c.bucket = qs.bucket AND c.vec_id != qs.vec_id
+  WHERE qs.vec_id < {N_QUERY_VECS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
+"""
+
+
+# --- text analysis -----------------------------------------------------------
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    d = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        marker_hits(toks, STOPWORDS).alias("n_stop"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    quality = (
+        F.lit(0.5) * distinct_ratio
+        + F.lit(0.3) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.4)))
+        + F.lit(0.2) * F.least(F.col("n_tokens").cast("double") / F.lit(100.0), F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_stop",
+        "n_chars_norm",
+        floor6(distinct_ratio).alias("distinct_ratio"),
+        floor6(quality).alias("quality"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+SQL_TEXT_STATS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+         length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars_norm
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+         len(list_filter(t, x -> list_contains([{_STOP_LIST}], x))) AS n_stop,
+         n_chars_norm
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_distinct, n_stop, n_chars_norm,
+  floor((n_distinct::DOUBLE / n_tokens::DOUBLE) * 1000000.0) / 1000000.0 AS distinct_ratio,
+  floor((0.5 * (n_distinct::DOUBLE / n_tokens::DOUBLE)
+       + 0.3 * (1.0 - abs(n_stop::DOUBLE / n_tokens::DOUBLE - 0.4))
+       + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0)) * 1000000.0) / 1000000.0 AS quality
+FROM base
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        d.select("doc_id", F.col("lang").alias("labeled_lang"), langid_expr(toks).alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: f"len(list_filter(t, x -> list_contains([{', '.join(repr(m) for m in ms)}], x)))"
+        for lang, ms in LANG_MARKERS.items()
+    }
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {hits['en']} AS h_en, {hits['es']} AS h_es,
+         {hits['de']} AS h_de, {hits['fr']} AS h_fr
+  FROM toks
+),
+pred AS (
+  SELECT labeled_lang,
+         CASE WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+              WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+              WHEN h_de >= h_fr THEN 'de'
+              ELSE 'fr' END AS predicted_lang
+  FROM scored
+)
+SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY labeled_lang, predicted_lang
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs regex ('BPE-ish' alpha-run) token counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)).alias("n_alpha_runs"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]{4,}"), 0)).alias("n_long_runs"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_runs,
+       len(regexp_extract_all(lower(text), '[a-z]{4,}')) AS n_long_runs
+FROM documents
+"""
+
+
+QUERIES = {
+    "llm_dedup_exact": q_dedup_exact,
+    "llm_dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "llm_ngram_jaccard": q_ngram_jaccard,
+    "llm_dedup_simhash": q_dedup_simhash,
+    "llm_ann_brute_topk": q_ann_brute_topk,
+    "llm_ann_lsh_topk": q_ann_lsh_topk,
+    "llm_text_stats": q_text_stats,
+    "llm_langid": q_langid,
+    "llm_token_count": q_token_count,
+}
+
+ORACLE_SQL = {
+    "llm_dedup_exact": SQL_DEDUP_EXACT,
+    "llm_dedup_minhash_lsh": _minhash_sql(),
+    "llm_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "llm_dedup_simhash": _simhash_sql(),
+    "llm_ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "llm_ann_lsh_topk": _ann_lsh_sql(),
+    "llm_text_stats": SQL_TEXT_STATS,
+    "llm_langid": _langid_sql(),
+    "llm_token_count": SQL_TOKEN_COUNT,
+}

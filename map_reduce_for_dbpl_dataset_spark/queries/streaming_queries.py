@@ -1,0 +1,85 @@
+"""Streaming + multimodal query registry entries.
+
+The streaming entries run a real Structured Streaming query
+(file source -> watermark -> windowed agg -> memory sink,
+Trigger.AvailableNow) to completion and return the final table, so
+the driver's differential check verifies BATCH/STREAM PARITY: the
+oracles are the same SQL as the batch event-window queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_payload, extract_features
+from ..sources.parquet import load_table
+from ..streaming.windows import (
+    run_stream_to_table,
+    stream_events,
+    stream_session_stats,
+    stream_tumbling_counts,
+)
+from .tpch import SQL_EVENTS_TUMBLING
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_table(stream_tumbling_counts(stream_events(spark, sf_dir)), spark)
+    return out.orderBy("window_start", "event_type")
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_table(stream_session_stats(stream_events(spark, sf_dir)), spark)
+    return out.orderBy("user_id", "session_start")
+
+
+SQL_STREAM_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + Arrow-batched (mapInPandas) feature
+    extraction; byte statistics are oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = attach_payload(d, "doc_id", "text")
+    return extract_features(payloads).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id, 'text/plain' AS mime,
+       octet_length(encode(text)) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       CAST(floor(list_sum([ascii(substr(text, i, 1)) for i in range(1, 9)])::DOUBLE
+                  / 8.0 * 1000000.0) AS BIGINT) AS mean8_micro
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "stream_tumbling_parity": q_stream_tumbling,
+    "stream_session_parity": q_stream_session,
+    "llm_multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "stream_tumbling_parity": SQL_EVENTS_TUMBLING,
+    "stream_session_parity": SQL_STREAM_SESSION,
+    "llm_multimodal_features": SQL_MULTIMODAL_FEATURES,
+}

@@ -1,0 +1,120 @@
+"""Structured Streaming windowed aggregations over the events table.
+
+The reference is batch-only (SURVEY.md §2.2: streaming is an
+[extension]); this module gives the engine's event-time surface:
+tumbling/sliding/session windows with watermark-based late-data
+handling. The same aggregation logic exists in batch form in
+queries/tpch.py (q_events_tumbling/…); the streaming twins here are
+checked against those DuckDB oracles by running with
+Trigger.AvailableNow into a memory sink — batch/stream parity is the
+test.
+
+Scale notes:
+- the file source is partitioned and rate-limited via
+  maxFilesPerTrigger; on a cluster this is Kafka with the same plan;
+- watermark(10 min) bounds state: windows older than the watermark
+  are evicted from the state store — without it, state grows without
+  bound at 100 TB/day;
+- session_window state merges adjacent sessions per key; skewed keys
+  are the usual hazard, mitigated by key-salting upstream if one
+  user dominates.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+
+D = "decimal(18,2)"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the (nanos-normalized) events parquet. Schema is
+    pinned from the batch reader — file streams require an explicit
+    schema, inference is a batch-only convenience."""
+    batch = load_table(spark, sf_dir, "events")
+    path = batch.inputFiles()[0].removeprefix("file:")
+    # The file-stream source wants a DIRECTORY it can monitor (that is
+    # its contract: new files arriving in the dir are new data). Stage
+    # a symlink dir per source file — on a cluster this is simply the
+    # landing directory.
+    stage = f"/tmp/mrdbpl_stream_{abs(hash(path))}"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """1-hour tumbling windows with a 10-minute watermark.
+
+    Watermarks require TIMESTAMP (with-local-tz); the fixture column is
+    TIMESTAMP_NTZ. The ntz->ltz cast at ingest and the ltz->ntz cast on
+    the window bound compose to the identity under any fixed session
+    timezone, so the emitted window_start matches the batch/oracle
+    value exactly."""
+    return (
+        events.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_stats(events: DataFrame) -> DataFrame:
+    """Session windows (30-min gap) per user with watermark (same
+    ntz<->ltz identity round-trip as stream_tumbling_counts)."""
+    return (
+        events.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "10 minutes")
+        .groupBy("user_id", F.session_window("ts_ltz", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(D)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_table(sdf: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming aggregation to completion
+    (Trigger.AvailableNow) into a memory sink and return the final
+    result as a batch DataFrame. Complete output mode: every trigger
+    rewrites the full aggregate state, so the memory table holds the
+    final answer once the stream drains."""
+    name = f"stream_out_{uuid.uuid4().hex[:10]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,109 @@
+"""Unit tests for the generic relational operators."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from map_reduce_for_dbpl_dataset_spark.operators.argmax import argmax_per_group
+from map_reduce_for_dbpl_dataset_spark.operators.asof import asof_join
+from map_reduce_for_dbpl_dataset_spark.operators.runs import longest_consecutive_run
+from map_reduce_for_dbpl_dataset_spark.operators.topk import top_k_global, top_k_per_group
+
+
+def test_top_k_per_group_row_number(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 5), ("a", "y", 5), ("a", "z", 3), ("b", "p", 1)],
+        "grp string, item string, cnt int",
+    )
+    out = top_k_per_group(df, ["grp"], [F.desc("cnt"), F.asc("item")], k=2)
+    rows = {(r.grp, r.item) for r in out.collect()}
+    # tie at cnt=5 broken by item asc; exactly 2 rows for group a
+    assert rows == {("a", "x"), ("a", "y"), ("b", "p")}
+
+
+def test_top_k_per_group_rank_keeps_ties(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 5), ("a", "y", 5), ("a", "z", 3)], "grp string, item string, cnt int"
+    )
+    out = top_k_per_group(df, ["grp"], [F.desc("cnt")], k=1, method="rank")
+    assert {r.item for r in out.collect()} == {"x", "y"}
+
+
+def test_top_k_global_is_take_ordered(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") % 17)
+    out = top_k_global(df, [F.desc("v"), F.asc("id")], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 5
+
+
+def test_longest_consecutive_run_duplicates_do_not_reset(spark):
+    # the reference's literal bug: a duplicate year truncated the run
+    # (Homework2.scala:217-221); intended semantics keeps the full run.
+    df = spark.createDataFrame(
+        [("a", y) for y in [1990, 1991, 1991, 1992, 1993]] + [("b", 2000), ("b", 2002)],
+        "k string, year int",
+    )
+    out = {r.k: r.longest_run for r in longest_consecutive_run(df, ["k"], "year").collect()}
+    assert out == {"a": 4, "b": 1}
+
+
+def test_longest_consecutive_run_gap(spark):
+    df = spark.createDataFrame(
+        [("a", y) for y in [1, 2, 3, 10, 11, 12, 13]], "k string, year int"
+    )
+    out = longest_consecutive_run(df, ["k"], "year").collect()
+    assert out[0].longest_run == 4
+
+
+def test_argmax_keeps_all_ties(spark):
+    df = spark.createDataFrame(
+        [("v", "t1", 7), ("v", "t2", 7), ("v", "t3", 2), ("w", "t4", 1)],
+        "venue string, title string, n int",
+    )
+    out = argmax_per_group(df, ["venue"], "n")
+    assert {(r.venue, r.title) for r in out.collect()} == {("v", "t1"), ("v", "t2"), ("w", "t4")}
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_and_exact_tie(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00")), (1, _ts("2024-01-01T12:00:00")), (2, _ts("2024-01-01T09:00:00"))],
+        "k int, t timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100), (1, _ts("2024-01-01T11:30:00"), 200), (2, _ts("2024-01-01T09:30:00"), 300)],
+        "k int, rt timestamp_ntz, payload int",
+    )
+    out = asof_join(left, right, ["k"], "t", "rt", ["payload"], how="inner")
+    got = {(r.k, r.t.isoformat(), r.payload) for r in out.collect()}
+    # 10:00 matches the 10:00 build row exactly (tie matches);
+    # 12:00 picks the latest prior (11:30 -> 200);
+    # k=2 probe at 09:00 has no prior row -> dropped under inner.
+    assert got == {(1, "2024-01-01T10:00:00", 100), (1, "2024-01-01T12:00:00", 200)}
+
+
+def test_asof_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(2, _ts("2024-01-01T09:00:00"))], "k int, t timestamp_ntz")
+    right = spark.createDataFrame(
+        [(2, _ts("2024-01-01T09:30:00"), 300)], "k int, rt timestamp_ntz, payload int"
+    )
+    out = asof_join(left, right, ["k"], "t", "rt", ["payload"], how="left").collect()
+    assert len(out) == 1 and out[0].payload is None
+
+
+def test_asof_join_carries_legit_null_payload(spark):
+    # A build row whose payload IS null must still win over an older
+    # non-null row (struct carry, not per-column carry).
+    left = spark.createDataFrame([(1, _ts("2024-01-01T12:00:00"))], "k int, t timestamp_ntz")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100), (1, _ts("2024-01-01T11:00:00"), None)],
+        "k int, rt timestamp_ntz, payload int",
+    )
+    out = asof_join(left, right, ["k"], "t", "rt", ["payload"], how="inner").collect()
+    assert len(out) == 1 and out[0].payload is None
