@@ -44,8 +44,10 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # warm the session (JVM/codegen) on a trivial action
+    # warm the session (JVM/codegen) and the parquet datasource so the
+    # first timed query doesn't absorb one-time reader initialization
     spark.range(1000).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     times: dict[str, float] = {}
     for name in names:

@@ -54,9 +54,31 @@ EMB_DIM = 64
 N_QUERY_VECS = 10
 
 
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The shingle pipeline (normalize-regex + split + slice-concat) is
+    # the dominant scan cost and every dedup strategy reuses the result
+    # 2-3x (signatures + verification self-joins), so persist it once
+    # per (session, sf_dir). At 100 TB the same move is writing the
+    # shingle table to parquet once and feeding all dedup passes from it.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", word_shingles(tokens(F.col("text")), 3).alias("shingles"))
+    # Small compressed fixture files arrive as ONE input split; the
+    # shingle derivation is CPU-bound, so spread it across cores first.
+    # At 100 TB the scan is naturally split and this repartition drops
+    # out (it's a no-op cost next to the derivation either way).
+    sh = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", word_shingles(tokens(F.col("text")), 3).alias("shingles"))
+        .persist()
+    )
+    _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 # SQL prelude mirroring tokens()/word_shingles(): normalize, split,
