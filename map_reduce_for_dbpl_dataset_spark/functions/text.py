@@ -66,6 +66,28 @@ def floor6(c: Column) -> Column:
     return F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)
 
 
+# Polynomial rolling-hash constants: fp = fold(h_i) of (acc*B + h_i) mod P.
+# acc*B < ~1.3e11 stays far inside int64 under ANSI mode.
+ROLL_B = 131
+ROLL_P = 1_000_000_007
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over per-token hash60 values — same-token-multiset docs with
+    different word order get DIFFERENT fingerprints (unlike the md5
+    content fingerprint, which canonicalizes whitespace only).
+    Pure codegen fold (F.aggregate), portable to DuckDB list_reduce.
+    """
+    hs = F.transform(toks, lambda t: hash60(t) % ROLL_P)
+    rest = F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.element_at(hs, 1),
+        lambda acc, x: (acc * ROLL_B + x) % ROLL_P,
+    )
+
+
 STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for")
 
 LANG_MARKERS: dict[str, tuple[str, ...]] = {

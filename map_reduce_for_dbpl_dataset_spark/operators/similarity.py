@@ -84,6 +84,41 @@ def brute_force_topk(
     )
 
 
+def embedding_near_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket every vector by
+    its hyperplane signature, self-join on bucket (id_a < id_b), keep
+    pairs with exact quantized cosine >= threshold.
+
+    The all-pairs analog of lsh_ann_topk: single-probe recall (a pair
+    is found iff no plane separates it — the standard LSH trade), but
+    the join is on bucket ids, so the work is sum of squared bucket
+    sizes, not corpus^2. At 100 TB: buckets are the shuffle key;
+    Zipfian bucket skew is handled by AQE skew-split, or add more
+    planes to shrink buckets.
+    """
+    c = (
+        corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col), scale).alias("_q"))
+        .withColumn("_n2", norm2_q(F.col("_q")))
+        .withColumn("bucket", _bucket_expr(F.col("_q"), dim))
+    )
+    a = c.select(F.col("_id").alias("id_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na"), "bucket")
+    b = c.select(F.col("_id").alias("id_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_q(dot_q(F.col("_qa"), F.col("_qb")), F.col("_na"), F.col("_nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_micro"))
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -34,6 +34,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(streaming_queries.QUERIES)
     except ImportError:
         pass
+    try:
+        from . import sinks_queries
+
+        out.update(sinks_queries.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -56,6 +62,12 @@ def all_oracle_sql() -> dict[str, str]:
         from . import streaming_queries
 
         out.update(streaming_queries.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from . import sinks_queries
+
+        out.update(sinks_queries.ORACLE_SQL)
     except ImportError:
         pass
     return out

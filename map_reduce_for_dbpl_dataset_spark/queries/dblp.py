@@ -311,7 +311,35 @@ LIMIT 100
 """
 
 
+# --- XML ingestion roundtrip --------------------------------------------------
+def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ingestion path, Spark-native and oracle-checked:
+    parse the DBLP line-record file (fixtures/publications.xml, the
+    format dblpXMLparser.scala:96 emits) with a distributed text scan +
+    from_xml (replacing the per-mapper XML.loadString at
+    Homework2.scala:39), yielding the typed publications schema. The
+    oracle reads the parquet original with the same absent-field
+    normalization (empty string -> NULL), so the hash match proves the
+    XML path reproduces the table exactly.
+    """
+    from ..sources.xml import publications_from_xml
+
+    return publications_from_xml(spark)
+
+
+XML_INGEST_SQL = f"""
+SELECT key, kind, nullif(title, '') AS title,
+       coalesce(authors, []) AS authors, coalesce(editors, []) AS editors,
+       year, nullif(journal, '') AS journal, nullif(booktitle, '') AS booktitle,
+       nullif(publisher, '') AS publisher, nullif(school, '') AS school,
+       nullif(pages, '') AS pages, coalesce(ee, []) AS ee,
+       nullif(crossref, '') AS crossref, mdate
+FROM read_parquet('{PUBLICATIONS_PATH}')
+"""
+
+
 QUERIES = {
+    "dblp_xml_ingest": xml_ingest,
     "dblp_q1_top_authors_per_venue": q1_top_authors_per_venue,
     "dblp_q2_consecutive_years": q2_consecutive_years,
     "dblp_q3_solo_titles_per_venue": q3_solo_titles_per_venue,
@@ -321,6 +349,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dblp_xml_ingest": XML_INGEST_SQL,
     "dblp_q1_top_authors_per_venue": Q1_SQL,
     "dblp_q2_consecutive_years": Q2_SQL,
     "dblp_q3_solo_titles_per_venue": Q3_SQL,

@@ -42,9 +42,11 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_pairs,
 )
+from ..functions.text import ROLL_B, ROLL_P, rolling_fingerprint
 from ..operators.similarity import (
     N_PLANES,
     brute_force_topk,
+    embedding_near_pairs,
     lsh_ann_topk,
     plane_coef,
 )
@@ -335,6 +337,111 @@ FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over an augmented corpus.
+
+    The fixture embeddings have no natural near-dups (max pairwise
+    cosine ~0.51), so the corpus is augmented deterministically: exact
+    copies (ids +100000) and copies with every 4th element halved
+    (ids +200000, cosine ~0.97) of the first 10 vectors — halving is
+    exact in binary floats, so both engines quantize identically.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = e.filter(F.col("vec_id") < 10)
+    exact = seeds.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    half4 = F.transform(
+        "embedding",
+        lambda x, i: F.when(i % 4 == 0, x.cast("double") * F.lit(0.5)).otherwise(
+            x.cast("double")
+        ),
+    )
+    near = seeds.select((F.col("vec_id") + 200000).alias("vec_id"), half4.alias("embedding"))
+    corpus = e.unionAll(exact).unionAll(near)
+    return embedding_near_pairs(
+        corpus, "vec_id", "embedding", dim=EMB_DIM, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_embedding_sql() -> str:
+    plane_rows = ",\n    ".join(
+        "({j}, [{coefs}])".format(
+            j=j, coefs=", ".join(str(plane_coef(j, i, EMB_DIM)) for i in range(EMB_DIM))
+        )
+        for j in range(N_PLANES)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 100000, emb FROM base WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 200000,
+         [CASE WHEN (i - 1) % 4 = 0 THEN emb[i] * 0.5 ELSE emb[i] END
+          for i in range(1, {EMB_DIM + 1})]
+  FROM base WHERE vec_id < 10
+),
+q0 AS (SELECT vec_id, [CAST(floor(x * 1000) AS BIGINT) for x in emb] AS q FROM corpus),
+n AS (
+  SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2 FROM q0
+),
+planes(j, coefs) AS (
+  SELECT * FROM (VALUES
+    {plane_rows}
+  ) AS p(j, coefs)
+),
+dots AS (
+  SELECT n.vec_id, p.j,
+         CAST(list_sum([n.q[i] * p.coefs[i] for i in range(1, {EMB_DIM + 1})]) AS BIGINT) AS d
+  FROM n CROSS JOIN planes p
+),
+buckets AS (
+  SELECT vec_id, sum(CASE WHEN d >= 0 THEN 1 << j ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+nb AS (SELECT n.*, b.bucket FROM n JOIN buckets b USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(list_sum([a.q[i] * b.q[i] for i in range(1, {EMB_DIM + 1})]) AS DOUBLE)
+           / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+FROM pairs WHERE cos >= 0.9 ORDER BY id_a, id_b
+"""
+
+
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint + duplicate
+    group size per fingerprint (exact-dup detection that, unlike the
+    md5 fingerprint, distinguishes shuffled word order)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", rolling_fingerprint(tokens(F.col("text"))).alias("fp"))
+    return fp.withColumn("n_same_fp", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+
+
+SQL_FINGERPRINT_ROLLING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {ROLL_P}),
+           (a, b) -> (a * {ROLL_B} + b) % {ROLL_P}
+         ) AS fp
+  FROM toks
+)
+SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp FROM fp
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -456,6 +563,8 @@ QUERIES = {
     "llm_dedup_simhash": q_dedup_simhash,
     "llm_ann_brute_topk": q_ann_brute_topk,
     "llm_ann_lsh_topk": q_ann_lsh_topk,
+    "llm_dedup_embedding": q_dedup_embedding,
+    "llm_fingerprint_rolling": q_fingerprint_rolling,
     "llm_text_stats": q_text_stats,
     "llm_langid": q_langid,
     "llm_token_count": q_token_count,
@@ -468,6 +577,8 @@ ORACLE_SQL = {
     "llm_dedup_simhash": _simhash_sql(),
     "llm_ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "llm_ann_lsh_topk": _ann_lsh_sql(),
+    "llm_dedup_embedding": _dedup_embedding_sql(),
+    "llm_fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
     "llm_text_stats": SQL_TEXT_STATS,
     "llm_langid": _langid_sql(),
     "llm_token_count": SQL_TOKEN_COUNT,

@@ -1,0 +1,90 @@
+"""Sink roundtrip queries (SURVEY.md §2.2 S4/S6).
+
+Each query WRITES through the engine sink and READS the result back,
+returning the re-read data — so the driver's oracle hash checks the
+full write→read path, not just an in-memory plan. Scratch output goes
+to a deterministic /tmp dir per sf_dir (overwritten every run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from ..sources.sinks import read_csv, sink_dir, write_csv, write_partitioned_parquet
+
+D = "decimal(18,2)"
+
+
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink with '|' separator (the reference's task-3 separator,
+    Homework2.scala:628): aggregate orders per (status, priority),
+    write delimited text, read back with an explicit schema. Decimal
+    money survives text roundtrip exactly — no float reformatting.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D)).alias("total_price"),
+        )
+    )
+    path = sink_dir("csv", sf_dir)
+    write_csv(agg, path, sep="|")
+    return read_csv(
+        spark,
+        path,
+        "o_orderstatus string, o_orderpriority string, n_orders long, total_price decimal(28,2)",
+        sep="|",
+    )
+
+
+SQL_SINK_CSV_ROUNDTRIP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned scan: write lineitem slices
+    partitioned by l_returnflag, read back ONE partition (the filter
+    becomes a PartitionFilter — only that directory is scanned) and
+    aggregate it.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    path = sink_dir("part_parquet", sf_dir)
+    write_partitioned_parquet(li, path, "l_returnflag")
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(D)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(D)).alias("sum_price"),
+        )
+    )
+
+
+SQL_SINK_PARTITIONED_PARQUET = """
+SELECT l_linestatus, count(*) AS n_items,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+FROM lineitem WHERE l_returnflag = 'R'
+GROUP BY l_linestatus
+"""
+
+
+QUERIES = {
+    "tpch_sink_csv_roundtrip": q_sink_csv_roundtrip,
+    "tpch_sink_partitioned_parquet": q_sink_partitioned_parquet,
+}
+
+ORACLE_SQL = {
+    "tpch_sink_csv_roundtrip": SQL_SINK_CSV_ROUNDTRIP,
+    "tpch_sink_partitioned_parquet": SQL_SINK_PARTITIONED_PARQUET,
+}

@@ -53,6 +53,26 @@ FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run to
+    completion: per-user lifetime stats. The fixture arrives as ONE
+    file -> one micro-batch -> one updated row per user, so the result
+    equals the batch groupBy and the oracle is full SQL."""
+    from ..streaming.stateful import stateful_user_stats
+
+    events = stream_events(spark, sf_dir)
+    out = run_stream_to_table(
+        stateful_user_stats(events), spark, output_mode="update"
+    )
+    return out.orderBy("user_id")
+
+
+SQL_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column + Arrow-batched (mapInPandas) feature
     extraction; byte statistics are oracle-checkable."""
@@ -75,11 +95,13 @@ ORDER BY doc_id
 QUERIES = {
     "stream_tumbling_parity": q_stream_tumbling,
     "stream_session_parity": q_stream_session,
+    "stream_stateful_user_stats": q_stream_stateful,
     "llm_multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL = {
     "stream_tumbling_parity": SQL_EVENTS_TUMBLING,
     "stream_session_parity": SQL_STREAM_SESSION,
+    "stream_stateful_user_stats": SQL_STREAM_STATEFUL,
     "llm_multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -100,17 +100,21 @@ def stream_session_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_table(sdf: DataFrame, spark: SparkSession) -> DataFrame:
+def run_stream_to_table(
+    sdf: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming aggregation to completion
     (Trigger.AvailableNow) into a memory sink and return the final
     result as a batch DataFrame. Complete output mode: every trigger
     rewrites the full aggregate state, so the memory table holds the
-    final answer once the stream drains."""
+    final answer once the stream drains. Update mode (required for
+    applyInPandasWithState) appends each trigger's updated rows — with
+    a single-file source that is exactly one row per key."""
     name = f"stream_out_{uuid.uuid4().hex[:10]}"
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

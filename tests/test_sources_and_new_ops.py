@@ -1,0 +1,93 @@
+"""Unit tests: XML source, sinks, rolling fingerprint, embedding
+near-dup (SURVEY.md §5 strategy: golden + property)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_for_dbpl_dataset_spark.functions.text import (
+    rolling_fingerprint,
+    tokens,
+)
+from map_reduce_for_dbpl_dataset_spark.operators.similarity import (
+    embedding_near_pairs,
+)
+from map_reduce_for_dbpl_dataset_spark.sources.xml import publications_from_xml
+
+
+def test_xml_source_golden(spark, tmp_path):
+    p = tmp_path / "lines.xml"
+    p.write_text(
+        '<article key="a/1" mdate="2001-02-03"><author>X</author>'
+        "<author>Y</author><title>T &amp; U</title><year>1999</year>"
+        "<journal>J</journal></article>\n"
+        '<phdthesis key="p/2" mdate="2002-03-04"><author>Z</author>'
+        "<title>Th</title><year>2001</year><school>S</school></phdthesis>\n"
+    )
+    rows = {r["key"]: r for r in publications_from_xml(spark, str(p)).collect()}
+    a = rows["a/1"]
+    assert a["kind"] == "article"
+    assert a["authors"] == ["X", "Y"]
+    assert a["editors"] == []
+    assert a["title"] == "T & U"
+    assert a["year"] == 1999
+    assert str(a["mdate"]) == "2001-02-03"
+    b = rows["p/2"]
+    assert (b["kind"], b["school"], b["journal"]) == ("phdthesis", "S", None)
+
+
+def test_xml_fixture_roundtrip_count(spark):
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import publications
+
+    parsed = publications_from_xml(spark)
+    assert parsed.count() == publications(spark).count()
+    # spot-invariant: per-kind counts survive the roundtrip
+    a = dict(parsed.groupBy("kind").count().collect())
+    b = dict(publications(spark).groupBy("kind").count().collect())
+    assert a == b
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["id", "text"],
+    )
+    out = {
+        r["id"]: r["fp"]
+        for r in df.select(
+            "id", rolling_fingerprint(tokens(F.col("text"))).alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[3]
+    assert out[1] != out[2]  # same tokens, different order
+
+
+def test_embedding_near_pairs_finds_exact_copy(spark):
+    dim = 8
+    v1 = [float(i + 1) for i in range(dim)]
+    v2 = [float(dim - i) for i in range(dim)]
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, list(v1))], ["vec_id", "embedding"]
+    )
+    pairs = embedding_near_pairs(df, "vec_id", "embedding", dim=dim, threshold=0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got
+    assert all(p == (1, 3) for p in got)
+
+
+def test_csv_sink_partitioned_output(spark, tmp_path):
+    from map_reduce_for_dbpl_dataset_spark.sources.sinks import read_csv, write_csv
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(4)
+    path = str(tmp_path / "csvout")
+    write_csv(df, path, sep="|")
+    import glob
+
+    parts = glob.glob(path + "/part-*")
+    assert len(parts) > 1  # partitioned output, no coalesce(1) funnel
+    back = read_csv(spark, path, "id long, k long", sep="|")
+    assert back.count() == 100
+    assert back.agg(F.sum("id")).first()[0] == 4950
