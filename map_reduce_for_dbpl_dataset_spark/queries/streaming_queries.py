@@ -18,14 +18,20 @@ from ..streaming.windows import (
     run_stream_to_table,
     stream_events,
     stream_session_stats,
+    stream_sliding_counts,
     stream_tumbling_counts,
 )
-from .tpch import SQL_EVENTS_TUMBLING
+from .tpch import SQL_EVENTS_SLIDING, SQL_EVENTS_TUMBLING
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_table(stream_tumbling_counts(stream_events(spark, sf_dir)), spark)
     return out.orderBy("window_start", "event_type")
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_stream_to_table(stream_sliding_counts(stream_events(spark, sf_dir)), spark)
+    return out.orderBy("window_start")
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -94,6 +100,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "stream_tumbling_parity": q_stream_tumbling,
+    "stream_sliding_parity": q_stream_sliding,
     "stream_session_parity": q_stream_session,
     "stream_stateful_user_stats": q_stream_stateful,
     "llm_multimodal_features": q_multimodal_features,
@@ -101,6 +108,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "stream_tumbling_parity": SQL_EVENTS_TUMBLING,
+    "stream_sliding_parity": SQL_EVENTS_SLIDING,
     "stream_session_parity": SQL_STREAM_SESSION,
     "stream_stateful_user_stats": SQL_STREAM_STATEFUL,
     "llm_multimodal_features": SQL_MULTIMODAL_FEATURES,

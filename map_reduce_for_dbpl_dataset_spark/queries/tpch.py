@@ -960,3 +960,138 @@ ORACLE_SQL.update(
         "tpch_events_session": SQL_EVENTS_SESSION,
     }
 )
+
+
+# --- statistical aggregates (exact-decimal moment formulas) ------------------
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev, variance, correlation) per
+    return flag, computed from EXACT decimal power sums and only then
+    converted to double — so the result is order-insensitive and
+    hash-stable, unlike streaming float stddev/corr whose partial-
+    aggregation order varies run to run. This sum-of-moments shape is
+    also the distributed-friendly form: one partial-aggregable pass.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast(D)
+    p = F.col("l_extendedprice").cast(D)
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sq2"),
+        F.sum(p).alias("sp"),
+        F.sum(p * p).alias("sp2"),
+        F.sum(q * p).alias("sqp"),
+    )
+    n = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sq2 = F.col("sq2").cast("double")
+    sp = F.col("sp").cast("double")
+    sp2 = F.col("sp2").cast("double")
+    sqp = F.col("sqp").cast("double")
+    var_q = (n * sq2 - sq * sq) / (n * (n - F.lit(1.0)))
+    var_p = (n * sp2 - sp * sp) / (n * (n - F.lit(1.0)))
+    corr = (n * sqp - sq * sp) / F.sqrt((n * sq2 - sq * sq) * (n * sp2 - sp * sp))
+    f6 = lambda c: F.floor(c * F.lit(1000000.0)) / F.lit(1000000.0)  # noqa: E731
+    return g.select(
+        "l_returnflag",
+        "n",
+        f6(F.sqrt(var_q)).alias("stddev_qty"),
+        f6(var_p / F.lit(1000000.0)).alias("var_price_m"),
+        f6(corr).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+SQL_STATS_AGG = """
+WITH g AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sq2,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sp2,
+         sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  floor(sqrt((n::DOUBLE * sq2::DOUBLE - sq::DOUBLE * sq::DOUBLE) / (n::DOUBLE * (n::DOUBLE - 1.0))) * 1000000.0) / 1000000.0 AS stddev_qty,
+  floor(((n::DOUBLE * sp2::DOUBLE - sp::DOUBLE * sp::DOUBLE) / (n::DOUBLE * (n::DOUBLE - 1.0))) / 1000000.0 * 1000000.0) / 1000000.0 AS var_price_m,
+  floor(((n::DOUBLE * sqp::DOUBLE - sq::DOUBLE * sp::DOUBLE)
+        / sqrt((n::DOUBLE * sq2::DOUBLE - sq::DOUBLE * sq::DOUBLE) * (n::DOUBLE * sp2::DOUBLE - sp::DOUBLE * sp::DOUBLE))) * 1000000.0) / 1000000.0 AS corr_qty_price
+FROM g ORDER BY l_returnflag
+"""
+
+
+# --- map-type operations ------------------------------------------------------
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a per-user map event_type -> count
+    (map_from_entries over sorted collected structs), then read it
+    back with size() and element_at() lookups. Output is scalar
+    columns so the oracle stays engine-neutral; absent keys surface
+    as NULL (element_at contract)."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", "click").alias("n_click"),
+        F.element_at("m", "purchase").alias("n_purchase"),
+    ).orderBy("user_id")
+
+
+SQL_MAP_OPS = """
+SELECT user_id,
+       count(DISTINCT event_type) AS n_types,
+       nullif(count(*) FILTER (event_type = 'click'), 0) AS n_click,
+       nullif(count(*) FILTER (event_type = 'purchase'), 0) AS n_purchase
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- deterministic hash sampling ---------------------------------------------
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample: md5-hash the key, keep hash % 100 < 5.
+    TABLESAMPLE is engine/seed-dependent; hash-gating is the portable,
+    repeatable form — and the right pattern at 100 TB, where a sample
+    must be consistent across reruns and across engines (the filter
+    also pushes past column pruning: only o_orderkey is hashed)."""
+    o = _t(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10).cast("long")
+    return (
+        o.filter(h % 100 < 5)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast(D)).alias("sampled_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_HASH_SAMPLE = """
+SELECT o_orderstatus, count(*) AS n_sampled,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sampled_price
+FROM orders
+WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 5
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+QUERIES.update(
+    {
+        "tpch_stats_agg": q_stats_agg,
+        "tpch_map_ops": q_map_ops,
+        "tpch_hash_sample": q_hash_sample,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tpch_stats_agg": SQL_STATS_AGG,
+        "tpch_map_ops": SQL_MAP_OPS,
+        "tpch_hash_sample": SQL_HASH_SAMPLE,
+    }
+)

@@ -80,6 +80,21 @@ def stream_tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event in exactly two
+    windows), watermarked; mirrors batch q_events_sliding."""
+    return (
+        events.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "10 minutes")
+        .groupBy(F.window("ts_ltz", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
 def stream_session_stats(events: DataFrame) -> DataFrame:
     """Session windows (30-min gap) per user with watermark (same
     ntz<->ltz identity round-trip as stream_tumbling_counts)."""
