@@ -61,8 +61,10 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _perm_min(h: Column, a: int, b: int) -> Column:
-    return F.min((F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P)
+def _perm_min(hm: Column, a: int, b: int) -> Column:
+    # hm is already reduced mod MINHASH_P (hoisted out of the K
+    # aggregate expressions — computed once per row, not K times)
+    return F.min((F.lit(a) * hm + F.lit(b)) % MINHASH_P)
 
 
 def minhash_signatures(
@@ -77,7 +79,7 @@ def minhash_signatures(
     minima as separate aggregate columns — K never multiplies the
     shuffle.
     """
-    h = hash_fn(F.col("shingle")).alias("h")
+    h = (hash_fn(F.col("shingle")) % MINHASH_P).alias("h")
     exploded = shingled.select(
         F.col(id_col), F.explode_outer(F.array_distinct(F.col(shingle_col))).alias("shingle")
     ).select(id_col, h)
