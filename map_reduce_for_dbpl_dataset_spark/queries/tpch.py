@@ -1095,3 +1095,105 @@ ORACLE_SQL.update(
         "tpch_hash_sample": SQL_HASH_SAMPLE,
     }
 )
+
+
+# --- skew: salted two-phase aggregation --------------------------------------
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregate over lineitem's 3-value l_returnflag — the
+    canonical hot-key shape (at 100 TB each flag would funnel ~33% of
+    all rows through ONE reducer). operators/skew.py spreads phase 1
+    over 16 salts; the result is bit-identical to the plain aggregate
+    (which is what the oracle computes)."""
+    from ..operators.skew import salted_sum_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum_count(
+        li,
+        keys=["l_returnflag"],
+        sums={
+            "sum_qty": F.col("l_quantity").cast(D),
+            "sum_price": F.col("l_extendedprice").cast(D),
+        },
+        salt=F.col("l_orderkey"),
+        n_salts=16,
+    )
+    return out.orderBy("l_returnflag")
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- bucketed co-located join ------------------------------------------------
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned shuffle-free join: orders and lineitem are written
+    ONCE as tables bucketed+sorted by orderkey; the subsequent
+    sort-merge join reads co-located buckets and needs NO exchange on
+    either side (the 100 TB pattern for repeated fact-fact joins:
+    amortize the shuffle into the layout). The final aggregate is the
+    only shuffle in the plan."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    to_name, tl_name = f"mrdbpl_ob_{tag}", f"mrdbpl_lb_{tag}"
+    catalog = spark.catalog
+    if not catalog.tableExists(to_name):
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .option("path", f"/tmp/mrdbpl_bucketed/{to_name}")
+            .saveAsTable(to_name)
+        )
+    if not catalog.tableExists(tl_name):
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .option("path", f"/tmp/mrdbpl_bucketed/{tl_name}")
+            .saveAsTable(tl_name)
+        )
+    o = spark.table(to_name)
+    li = spark.table(tl_name)
+    rev = (F.col("l_extendedprice").cast(D) * (F.lit(1).cast(D) - F.col("l_discount").cast(D)))
+    # merge hint: at fixture scale the broadcast planner would otherwise
+    # hide the bucketing; at real scale SMJ is what the planner picks.
+    joined = li.join(o.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(F.sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderstatus,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+QUERIES.update(
+    {
+        "tpch_salted_agg": q_salted_agg,
+        "tpch_bucketed_join": q_bucketed_join,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tpch_salted_agg": SQL_SALTED_AGG,
+        "tpch_bucketed_join": SQL_BUCKETED_JOIN,
+    }
+)
