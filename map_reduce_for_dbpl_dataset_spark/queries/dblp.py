@@ -338,8 +338,132 @@ FROM read_parquet('{PUBLICATIONS_PATH}')
 """
 
 
+# --- co-author pairs (the self-join the reference avoids) --------------------
+def coauthor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True co-author pairs with co-publication counts — the self-join
+    on exploded authors the reference sidesteps with its authorSeq
+    .length weighting trick (Homework2.scala:383-386; SURVEY.md §2.2
+    joins checklist names this the natural join demonstrator).
+
+    Scale: the join key is the publication key (bounded fan-out per
+    record — max authors/record, not authors/corpus), so the explode
+    self-join is |records| * avg_authors^2, never quadratic in the
+    author universe. Zipfian prolific authors skew the final groupBy,
+    split by AQE.
+    """
+    ex = (
+        _pubs_with_venue(spark)
+        .select(F.col("key").alias("pub"), F.explode(F.array_distinct("aus")).alias("a"))
+        .filter(F.col("a") != "")
+    )
+    pairs = (
+        ex.select(F.col("pub"), F.col("a").alias("author_a"))
+        .join(ex.select(F.col("pub"), F.col("a").alias("author_b")), "pub")
+        .filter(F.col("author_a") < F.col("author_b"))
+        .groupBy("author_a", "author_b")
+        .agg(F.count(F.lit(1)).alias("n_copubs"))
+    )
+    return pairs
+
+
+COAUTHOR_PAIRS_SQL = f"""
+WITH {_PUBS_CTE},
+ex AS (
+  SELECT key, unnest(list_distinct(aus)) AS a FROM pubs
+)
+SELECT l.a AS author_a, r.a AS author_b, count(*) AS n_copubs
+FROM ex l JOIN ex r ON l.key = r.key AND l.a < r.a
+WHERE l.a <> '' AND r.a <> ''
+GROUP BY 1, 2
+"""
+
+
+# --- connected components over the co-author graph (iterative) ---------------
+def coauthor_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-author graph by iterative
+    min-label propagation — the engine's iterative-algorithm surface
+    (no reference counterpart; the closest ancestry is PageRank-style
+    MapReduce chains). Each iteration is one join + one min-aggregate;
+    lineage is cut with localCheckpoint so the plan doesn't grow with
+    the iteration count; convergence is detected by counting label
+    changes (an action per iteration, as any fixpoint loop needs).
+
+    The oracle computes the same components with a DuckDB recursive
+    CTE (transitive closure + min reachable label) — exact agreement,
+    not rows-only.
+
+    Scale: label propagation is the DataFrame-native CC; at 100 TB
+    graph sizes switch to the large-star/small-star variant (fewer
+    supersteps) — same join+agg per round, so the plan shape holds.
+    """
+    ex = (
+        _pubs_with_venue(spark)
+        .select(F.col("key").alias("pub"), F.explode(F.array_distinct("aus")).alias("a"))
+        .filter(F.col("a") != "")
+    )
+    edges = (
+        ex.select("pub", F.col("a").alias("src"))
+        .join(ex.select("pub", F.col("a").alias("dst")), "pub")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    bi = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = ex.select(F.col("a").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint()
+
+    for _ in range(100):
+        neighbor_min = (
+            bi.join(labels, bi.src == labels.node)
+            .select(F.col("dst").alias("node"), "component")
+            .groupBy("node")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nmin", F.col("component")) < F.col("component")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("author"), "component")
+
+
+COAUTHOR_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_PUBS_CTE},
+ex AS (
+  SELECT key, unnest(list_distinct(aus)) AS a FROM pubs
+),
+pe AS (SELECT key, a FROM ex WHERE a <> ''),
+edges AS (
+  SELECT DISTINCT l.a AS src, r.a AS dst
+  FROM pe l JOIN pe r ON l.key = r.key AND l.a < r.a
+),
+bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT a AS node FROM pe),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, bi.dst FROM reach r JOIN bi ON r.dst = bi.src
+)
+SELECT src AS author, min(dst) AS component FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "dblp_xml_ingest": xml_ingest,
+    "dblp_coauthor_pairs": coauthor_pairs,
+    "dblp_coauthor_components": coauthor_components,
     "dblp_q1_top_authors_per_venue": q1_top_authors_per_venue,
     "dblp_q2_consecutive_years": q2_consecutive_years,
     "dblp_q3_solo_titles_per_venue": q3_solo_titles_per_venue,
@@ -350,6 +474,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dblp_xml_ingest": XML_INGEST_SQL,
+    "dblp_coauthor_pairs": COAUTHOR_PAIRS_SQL,
+    "dblp_coauthor_components": COAUTHOR_COMPONENTS_SQL,
     "dblp_q1_top_authors_per_venue": Q1_SQL,
     "dblp_q2_consecutive_years": Q2_SQL,
     "dblp_q3_solo_titles_per_venue": Q3_SQL,

@@ -79,12 +79,60 @@ GROUP BY l_linestatus
 """
 
 
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source roundtrip (the interchange format most
+    LLM-corpus pipelines land in): aggregate, write .jsonl part files,
+    read back with an explicit schema — no inference pass, which at
+    100 TB would double the scan."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    path = sink_dir("json", sf_dir)
+    agg.write.mode("overwrite").json(path)
+    return spark.read.schema("n_name string, n_customers long").json(path)
+
+
+SQL_SINK_JSON_ROUNDTRIP = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source roundtrip — the second columnar format Spark
+    ships natively; typed columns (decimal included) survive exactly."""
+    p = load_table(spark, sf_dir, "part")
+    agg = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast(D)).alias("retail_sum"),
+    )
+    path = sink_dir("orc", sf_dir)
+    agg.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+SQL_SINK_ORC_ROUNDTRIP = """
+SELECT p_brand, count(*) AS n_parts,
+       sum(CAST(p_retailprice AS DECIMAL(18,2))) AS retail_sum
+FROM part GROUP BY p_brand
+"""
+
+
 QUERIES = {
     "tpch_sink_csv_roundtrip": q_sink_csv_roundtrip,
     "tpch_sink_partitioned_parquet": q_sink_partitioned_parquet,
+    "tpch_sink_json_roundtrip": q_sink_json_roundtrip,
+    "tpch_sink_orc_roundtrip": q_sink_orc_roundtrip,
 }
 
 ORACLE_SQL = {
     "tpch_sink_csv_roundtrip": SQL_SINK_CSV_ROUNDTRIP,
     "tpch_sink_partitioned_parquet": SQL_SINK_PARTITIONED_PARQUET,
+    "tpch_sink_json_roundtrip": SQL_SINK_JSON_ROUNDTRIP,
+    "tpch_sink_orc_roundtrip": SQL_SINK_ORC_ROUNDTRIP,
 }

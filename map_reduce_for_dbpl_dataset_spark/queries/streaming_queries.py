@@ -16,7 +16,9 @@ from ..operators.multimodal import attach_payload, extract_features
 from ..sources.parquet import load_table
 from ..streaming.windows import (
     run_stream_to_table,
+    stream_dedup,
     stream_events,
+    stream_events_duplicated,
     stream_session_stats,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -56,6 +58,25 @@ sess AS (
 SELECT min(ts) AS session_start, user_id, count(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup parity: every event delivered twice across two
+    micro-batches; dropDuplicates state drops the replays, so counts
+    over the sink equal the batch counts over the ORIGINAL table."""
+    deduped = stream_dedup(stream_events_duplicated(spark, sf_dir))
+    out = run_stream_to_table(deduped, spark, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
@@ -103,10 +124,12 @@ QUERIES = {
     "stream_sliding_parity": q_stream_sliding,
     "stream_session_parity": q_stream_session,
     "stream_stateful_user_stats": q_stream_stateful,
+    "stream_dedup_parity": q_stream_dedup,
     "llm_multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL = {
+    "stream_dedup_parity": SQL_STREAM_DEDUP,
     "stream_tumbling_parity": SQL_EVENTS_TUMBLING,
     "stream_sliding_parity": SQL_EVENTS_SLIDING,
     "stream_session_parity": SQL_STREAM_SESSION,

@@ -55,6 +55,35 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_events_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events file staged TWICE (two links, two
+    micro-batches under maxFilesPerTrigger=1) — an at-least-once
+    delivery simulation for exercising streaming deduplication: every
+    event arrives exactly twice, across different micro-batches."""
+    batch = load_table(spark, sf_dir, "events")
+    path = batch.inputFiles()[0].removeprefix("file:")
+    stage = f"/tmp/mrdbpl_stream_dup_{abs(hash(path))}"
+    os.makedirs(stage, exist_ok=True)
+    for copy in ("a", "b"):
+        link = os.path.join(stage, f"events_{copy}.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Streaming exact deduplication on event_id. State = the set of
+    seen ids, carried ACROSS micro-batches (the second delivery of
+    every event is dropped even though it arrives in a later batch).
+    At 100 TB/day, bound the state with dropDuplicatesWithinWatermark
+    so ids older than the delivery-lag bound are evicted."""
+    return events.dropDuplicates(["event_id"])
+
+
 def stream_tumbling_counts(events: DataFrame) -> DataFrame:
     """1-hour tumbling windows with a 10-minute watermark.
 

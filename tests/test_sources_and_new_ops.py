@@ -91,3 +91,31 @@ def test_csv_sink_partitioned_output(spark, tmp_path):
     back = read_csv(spark, path, "id long, k long", sep="|")
     assert back.count() == 100
     assert back.agg(F.sum("id")).first()[0] == 4950
+
+
+def test_coauthor_components_small_graph(spark):
+    from map_reduce_for_dbpl_dataset_spark.queries import dblp as dblp_mod
+    import pyspark.sql.functions as F
+
+    # run the same label-propagation loop on a hand-built edge set by
+    # monkeypatching the pub source: pubs {p1: a,b}, {p2: b,c}, {p3: d,e},
+    # {p4: f} -> components {a,b,c}->a, {d,e}->d, {f}->f
+    rows = [
+        ("p1", ["a", "b"]),
+        ("p2", ["b", "c"]),
+        ("p3", ["d", "e"]),
+        ("p4", ["f"]),
+    ]
+    df = spark.createDataFrame(rows, ["key", "aus"]).withColumn(
+        "venue", F.lit("v")
+    )
+    orig = dblp_mod._pubs_with_venue
+    dblp_mod._pubs_with_venue = lambda s: df
+    try:
+        out = {
+            r["author"]: r["component"]
+            for r in dblp_mod.coauthor_components(spark, "").collect()
+        }
+    finally:
+        dblp_mod._pubs_with_venue = orig
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
