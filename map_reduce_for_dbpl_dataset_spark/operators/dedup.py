@@ -219,6 +219,59 @@ def simhash_near_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    shingled: DataFrame, id_col: str, shingle_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join — same output as
+    ngram_jaccard_pairs, sub-quadratically.
+
+    Prefix-filter principle (PPJoin family): order each doc's shingles
+    by ascending global document frequency (ties by shingle); two sets
+    with Jaccard >= t MUST share at least one shingle among each
+    other's first |X| - ceil(t * |X|) + 1 shingles. Candidates are
+    generated by joining only those prefixes — the frequent shingles
+    that explode the naive self-join are exactly the ones prefixes
+    exclude — then verified with exact Jaccard over the full sets.
+
+    Scale: the candidate join's cost is sum of squared PREFIX-bucket
+    sizes (rare shingles -> tiny buckets), vs squared full-posting
+    sizes for the naive join. The df-ranking pass is one extra
+    groupBy+window, amortized at 100 TB by materializing the ranked
+    shingle table once per corpus snapshot.
+    """
+    from pyspark.sql import Window
+
+    ex = shingled.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(F.col(shingle_col))).alias("shingle"),
+    )
+    df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        ex.join(df_counts, "shingle")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("_id")))
+    )
+    # prefix length = sz - ceil(t*sz) + 1
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    )
+    cands = (
+        prefix.select(F.col("_id").alias("id_a"), "shingle")
+        .join(prefix.select(F.col("_id").alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard(cands, shingled, id_col, shingle_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def ngram_jaccard_pairs(
     shingled: DataFrame, id_col: str, shingle_col: str, threshold: float = 0.8
 ) -> DataFrame:

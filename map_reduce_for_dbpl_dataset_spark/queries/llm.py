@@ -40,6 +40,7 @@ from ..operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_near_pairs,
 )
 from ..functions.text import ROLL_B, ROLL_P, rolling_fingerprint
@@ -203,6 +204,18 @@ j AS (
 SELECT id_a, id_b, CAST(floor(j * 1e6) AS BIGINT) AS jaccard_micro
 FROM j WHERE j >= 0.8 ORDER BY id_a, id_b
 """
+
+
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join. The ORACLE IS THE SAME SQL
+    as llm_ngram_jaccard: the prefix filter is an exact optimization,
+    so hash-equality against the naive formulation proves the filter
+    loses no pairs."""
+    sh = _docs_shingled(spark, sf_dir)
+    out = ngram_jaccard_pairs_prefix(sh, "doc_id", "shingles", threshold=0.8)
+    return out.select(
+        "id_a", "id_b", F.floor(F.col("jaccard") * 1e6).cast("long").alias("jaccard_micro")
+    ).orderBy("id_a", "id_b")
 
 
 # --- SimHash near-dup --------------------------------------------------------
@@ -560,6 +573,7 @@ QUERIES = {
     "llm_dedup_exact": q_dedup_exact,
     "llm_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "llm_ngram_jaccard": q_ngram_jaccard,
+    "llm_ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "llm_dedup_simhash": q_dedup_simhash,
     "llm_ann_brute_topk": q_ann_brute_topk,
     "llm_ann_lsh_topk": q_ann_lsh_topk,
@@ -574,6 +588,7 @@ ORACLE_SQL = {
     "llm_dedup_exact": SQL_DEDUP_EXACT,
     "llm_dedup_minhash_lsh": _minhash_sql(),
     "llm_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "llm_ngram_jaccard_prefix": SQL_NGRAM_JACCARD,
     "llm_dedup_simhash": _simhash_sql(),
     "llm_ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "llm_ann_lsh_topk": _ann_lsh_sql(),
