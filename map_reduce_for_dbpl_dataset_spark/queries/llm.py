@@ -16,6 +16,9 @@ Python constants (PERMS, plane coefficients) the Spark operators use.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -508,6 +511,65 @@ FROM base
 """
 
 
+def q_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-Python escape hatch, used knowingly: the same
+    quality formula as llm_text_stats, but the final scoring runs in
+    an Arrow-batched @pandas_udf instead of Catalyst expressions.
+    This is the engine's scalar-UDF surface (SURVEY.md §2.2 U1) — for
+    logic that genuinely needs Python libraries; for arithmetic like
+    this the JVM expression path (llm_text_stats) is the fast path,
+    which is why only ONE query uses the UDF form. The token-count
+    inputs are still computed JVM-side; only the float combine crosses
+    into Python, columnar via Arrow."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @pandas_udf("double")
+    def quality_pudf(
+        n_tokens: pd.Series, n_distinct: pd.Series, n_stop: pd.Series
+    ) -> pd.Series:
+        nt = n_tokens.astype("float64")
+        dr = n_distinct.astype("float64") / nt
+        sr = n_stop.astype("float64") / nt
+        q = 0.5 * dr + 0.3 * (1.0 - (sr - 0.4).abs()) + 0.2 * (nt / 100.0).clip(upper=1.0)
+        return np.floor(q * 1000000.0) / 1000000.0
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        marker_hits(toks, STOPWORDS).alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        quality_pudf("n_tokens", "n_distinct", "n_stop").alias("quality"),
+    )
+
+
+SQL_QUALITY_PANDAS_UDF = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+         len(list_filter(t, x -> list_contains([{_STOP_LIST}], x))) AS n_stop
+  FROM toks
+)
+SELECT doc_id,
+  floor((0.5 * (n_distinct::DOUBLE / n_tokens::DOUBLE)
+       + 0.3 * (1.0 - abs(n_stop::DOUBLE / n_tokens::DOUBLE - 0.4))
+       + 0.2 * least(n_tokens::DOUBLE / 100.0, 1.0)) * 1000000.0) / 1000000.0 AS quality
+FROM base
+"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -580,6 +642,7 @@ QUERIES = {
     "llm_dedup_embedding": q_dedup_embedding,
     "llm_fingerprint_rolling": q_fingerprint_rolling,
     "llm_text_stats": q_text_stats,
+    "llm_quality_pandas_udf": q_quality_pandas_udf,
     "llm_langid": q_langid,
     "llm_token_count": q_token_count,
 }
@@ -595,6 +658,7 @@ ORACLE_SQL = {
     "llm_dedup_embedding": _dedup_embedding_sql(),
     "llm_fingerprint_rolling": SQL_FINGERPRINT_ROLLING,
     "llm_text_stats": SQL_TEXT_STATS,
+    "llm_quality_pandas_udf": SQL_QUALITY_PANDAS_UDF,
     "llm_langid": _langid_sql(),
     "llm_token_count": SQL_TOKEN_COUNT,
 }

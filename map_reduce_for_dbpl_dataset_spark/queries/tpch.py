@@ -1197,3 +1197,77 @@ ORACLE_SQL.update(
         "tpch_bucketed_join": SQL_BUCKETED_JOIN,
     }
 )
+
+
+# --- hierarchical rollup from partial aggregates -----------------------------
+def q_events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampling hierarchy (the hypertable/materialized-rollup
+    pattern): aggregate events to hour-level partials, then produce the
+    day level by RE-AGGREGATING the partials — never rescanning raw
+    data. The oracle computes day-level directly from raw events, so
+    the hash match proves partial re-aggregation is lossless (counts
+    and decimal sums are decomposable)."""
+    e = _t(spark, sf_dir, "events")
+    hour = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(D)).alias("sv"),
+        )
+    )
+    day = (
+        hour.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sum_value"))
+    )
+    return day.orderBy("day", "event_type")
+
+
+SQL_EVENTS_ROLLUP_HIERARCHY = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type
+"""
+
+
+# --- NULL semantics: NULL groups + null-safe join ----------------------------
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling surface: a derived nullable key (nullif) grouped
+    (NULL forms its own group, SQL semantics) and joined back with
+    NULL-SAFE equality (<=>) — a plain equi-join would drop the NULL
+    group; eqNullSafe keeps it, matching IS NOT DISTINCT FROM."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "prio_nn", F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    )
+    grouped = o.groupBy("prio_nn").agg(F.count(F.lit(1)).alias("n_orders"))
+    dims = o.select("prio_nn").distinct().withColumn(
+        "tag", F.coalesce(F.col("prio_nn"), F.lit("(medium)"))
+    )
+    joined = grouped.join(
+        dims, grouped.prio_nn.eqNullSafe(dims.prio_nn)
+    ).select(grouped.prio_nn.alias("priority_or_null"), "tag", "n_orders")
+    return joined.orderBy(F.asc_nulls_first("priority_or_null"))
+
+
+SQL_NULL_SEMANTICS = """
+WITH o AS (SELECT nullif(o_orderpriority, '3-MEDIUM') AS prio_nn FROM orders),
+g AS (SELECT prio_nn, count(*) AS n_orders FROM o GROUP BY prio_nn),
+d AS (SELECT DISTINCT prio_nn, coalesce(prio_nn, '(medium)') AS tag FROM o)
+SELECT g.prio_nn AS priority_or_null, d.tag, g.n_orders
+FROM g JOIN d ON g.prio_nn IS NOT DISTINCT FROM d.prio_nn
+ORDER BY priority_or_null NULLS FIRST
+"""
+
+
+QUERIES.update(
+    {
+        "tpch_events_rollup_hierarchy": q_events_rollup_hierarchy,
+        "tpch_null_semantics": q_null_semantics,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tpch_events_rollup_hierarchy": SQL_EVENTS_ROLLUP_HIERARCHY,
+        "tpch_null_semantics": SQL_NULL_SEMANTICS,
+    }
+)
