@@ -1271,3 +1271,88 @@ ORACLE_SQL.update(
         "tpch_null_semantics": SQL_NULL_SEMANTICS,
     }
 )
+
+
+# --- exact percentiles --------------------------------------------------------
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per order status —
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition, so values match bit-for-bit after the
+    floor6 guard. At 100 TB switch to approx_percentile (t-digest) and
+    drop the oracle to bounds-checking; the exact form is the
+    correctness anchor."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("_med"),
+            F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("_p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            (F.floor(F.col("_med") * 1e6) / 1e6).alias("median_price"),
+            (F.floor(F.col("_p90") * 1e6) / 1e6).alias("p90_price"),
+            "n_orders",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderstatus,
+       floor(quantile_cont(o_totalprice, 0.5) * 1000000.0) / 1000000.0 AS median_price,
+       floor(quantile_cont(o_totalprice, 0.9) * 1000000.0) / 1000000.0 AS p90_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --- unionByName with missing columns ----------------------------------------
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two projections with different column
+    sets combined by NAME (allowMissingColumns fills NULL) — the
+    pattern for unioning corpus snapshots whose schemas drifted."""
+    o = _t(spark, sf_dir, "orders")
+    old_snap = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new_snap = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    u = old_snap.unionByName(new_snap, allowMissingColumns=True)
+    return (
+        u.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_UNION_BY_NAME = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+new_snap AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+u AS (SELECT * FROM old_snap UNION ALL SELECT * FROM new_snap)
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM u GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+QUERIES.update(
+    {
+        "tpch_percentiles": q_percentiles,
+        "tpch_union_by_name": q_union_by_name,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "tpch_percentiles": SQL_PERCENTILES,
+        "tpch_union_by_name": SQL_UNION_BY_NAME,
+    }
+)

@@ -119,3 +119,41 @@ def test_coauthor_components_small_graph(spark):
     finally:
         dblp_mod._pubs_with_venue = orig
     assert out == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f"}
+
+
+def test_minhash_lsh_catches_exact_duplicates(spark):
+    """Recall floor: identical shingle sets -> identical signatures ->
+    same band buckets -> the pair MUST surface with jaccard 1.0."""
+    from map_reduce_for_dbpl_dataset_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [
+        (1, ["a b c", "b c d", "c d e", "d e f"]),
+        (2, ["a b c", "b c d", "c d e", "d e f"]),
+        (3, ["x y z", "y z w", "z w v", "w v u"]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "shingles"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           minhash_lsh_pairs(df, "doc_id", "shingles", threshold=0.8).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_prefix_jaccard_equals_naive(spark):
+    from map_reduce_for_dbpl_dataset_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [
+        (1, ["q w", "w e", "e r", "r t", "t y"]),
+        (2, ["q w", "w e", "e r", "r t", "zz z"]),
+        (3, ["q w", "aa a", "bb b", "cc c", "dd d"]),
+        (4, ["q w", "w e", "e r", "r t", "t y"]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "shingles"])
+    for t in (0.5, 0.8):
+        naive = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in
+                 ngram_jaccard_pairs(df, "doc_id", "shingles", t).collect()}
+        pref = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in
+                ngram_jaccard_pairs_prefix(df, "doc_id", "shingles", t).collect()}
+        assert naive == pref
+        assert naive  # non-vacuous
