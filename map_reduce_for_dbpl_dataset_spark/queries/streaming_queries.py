@@ -16,6 +16,7 @@ from ..operators.multimodal import attach_payload, extract_features
 from ..sources.parquet import load_table
 from ..streaming.windows import (
     run_stream_to_table,
+    stream_click_purchase_join,
     stream_dedup,
     stream_events,
     stream_events_duplicated,
@@ -100,6 +101,31 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join parity: clicks joined to purchases within
+    the following hour, per user, across two independent readStreams;
+    counts per user must equal the batch time-range self-join."""
+    joined = stream_click_purchase_join(
+        stream_events(spark, sf_dir), stream_events(spark, sf_dir)
+    )
+    out = run_stream_to_table(joined, spark, output_mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT c.user_id, count(*) AS n_pairs
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column + Arrow-batched (mapInPandas) feature
     extraction; byte statistics are oracle-checkable."""
@@ -125,11 +151,13 @@ QUERIES = {
     "stream_session_parity": q_stream_session,
     "stream_stateful_user_stats": q_stream_stateful,
     "stream_dedup_parity": q_stream_dedup,
+    "stream_stream_join_parity": q_stream_stream_join,
     "llm_multimodal_features": q_multimodal_features,
 }
 
 ORACLE_SQL = {
     "stream_dedup_parity": SQL_STREAM_DEDUP,
+    "stream_stream_join_parity": SQL_STREAM_STREAM_JOIN,
     "stream_tumbling_parity": SQL_EVENTS_TUMBLING,
     "stream_sliding_parity": SQL_EVENTS_SLIDING,
     "stream_session_parity": SQL_STREAM_SESSION,

@@ -144,6 +144,41 @@ def stream_session_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """Stream-stream inner join: purchases within 1 hour AFTER a click
+    by the same user. Both sides are watermarked and the join carries
+    an event-time range condition — that pair is what lets the state
+    store evict rows once the watermark passes the range bound (an
+    unbounded stream-stream join without them holds both streams
+    forever). Inner-join matches emit as soon as both rows arrive."""
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_id", "purchase_id")
+
+
 def run_stream_to_table(
     sdf: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:
