@@ -81,3 +81,48 @@ def extract_features(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, frame_len int"
+
+
+def sample_frames(payloads: DataFrame, k: int = 4, width: int = 16) -> DataFrame:
+    """Frame sampling over binary payloads: k evenly-strided windows
+    per payload, each fingerprinted — the plumbing shape of video
+    frame extraction (payload -> per-frame rows) with the codec
+    STUBBED as byte-window + md5 (deterministic, oracle-checkable).
+    A real pipeline swaps the window slice for a decoder call; the
+    Spark side (mapInPandas fan-out, one row per frame, partition
+    preservation) is exactly what production would run."""
+    import hashlib
+
+    from ..session import ship_package
+
+    ship_package(payloads.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n = len(raw)
+                stride = max(n // k, 1)
+                for i in range(k):
+                    off = i * stride
+                    if off >= n:
+                        break
+                    frame = raw[off : off + width]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+                    lens.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -390,12 +390,11 @@ def coauthor_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle computes the same components with a DuckDB recursive
     CTE (transitive closure + min reachable label) — exact agreement,
-    not rows-only.
-
-    Scale: label propagation is the DataFrame-native CC; at 100 TB
-    graph sizes switch to the large-star/small-star variant (fewer
-    supersteps) — same join+agg per round, so the plan shape holds.
+    not rows-only. The loop itself lives in operators/graph.py
+    (connected_components), shared with llm_dedup_clusters.
     """
+    from ..operators.graph import connected_components
+
     ex = (
         _pubs_with_venue(spark)
         .select(F.col("key").alias("pub"), F.explode(F.array_distinct("aus")).alias("a"))
@@ -408,34 +407,8 @@ def coauthor_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    bi = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = ex.select(F.col("a").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    ).localCheckpoint()
-
-    for _ in range(100):
-        neighbor_min = (
-            bi.join(labels, bi.src == labels.node)
-            .select(F.col("dst").alias("node"), "component")
-            .groupBy("node")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nmin", F.col("component")) < F.col("component")).alias("_chg"),
-            )
-        ).localCheckpoint()
-        changed = new_labels.filter(F.col("_chg")).count()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            break
+    vertices = ex.select(F.col("a").alias("node"))
+    labels = connected_components(edges, vertices)
     return labels.select(F.col("node").alias("author"), "component")
 
 

@@ -221,6 +221,55 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup endgame: near-dup PAIRS (exact n-gram Jaccard
+    >= 0.8) are only edges — deduplication needs transitive CLUSTERS
+    (a~b, b~c => {a,b,c} even if a!~c) and a canonical survivor per
+    cluster. Components come from operators/graph.py label
+    propagation; canonical = min doc_id. The oracle rebuilds the same
+    clusters with a recursive CTE over identically-computed pairs.
+    Keep-set = rows with is_canonical — what a 100 TB pipeline would
+    write out."""
+    from ..operators.graph import connected_components
+
+    sh = _docs_shingled(spark, sf_dir)
+    edges = ngram_jaccard_pairs(sh, "doc_id", "shingles", threshold=0.8).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    vertices = sh.select(F.col("doc_id").alias("node"))
+    labels = connected_components(edges, vertices)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SH_CTE},
+ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.sz + sb.sz - n_common)::DOUBLE >= 0.8
+),
+bi AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM sh
+  UNION
+  SELECT r.src, bi.d FROM reach r JOIN bi ON r.dst = bi.s
+)
+SELECT src AS doc_id, min(dst) AS cluster_id, src = min(dst) AS is_canonical
+FROM reach GROUP BY src
+"""
+
+
 # --- SimHash near-dup --------------------------------------------------------
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _docs_shingled(spark, sf_dir)
@@ -636,6 +685,7 @@ QUERIES = {
     "llm_dedup_minhash_lsh": q_dedup_minhash_lsh,
     "llm_ngram_jaccard": q_ngram_jaccard,
     "llm_ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+    "llm_dedup_clusters": q_dedup_clusters,
     "llm_dedup_simhash": q_dedup_simhash,
     "llm_ann_brute_topk": q_ann_brute_topk,
     "llm_ann_lsh_topk": q_ann_lsh_topk,
@@ -652,6 +702,7 @@ ORACLE_SQL = {
     "llm_dedup_minhash_lsh": _minhash_sql(),
     "llm_ngram_jaccard": SQL_NGRAM_JACCARD,
     "llm_ngram_jaccard_prefix": SQL_NGRAM_JACCARD,
+    "llm_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "llm_dedup_simhash": _simhash_sql(),
     "llm_ann_brute_topk": SQL_ANN_BRUTE_TOPK,
     "llm_ann_lsh_topk": _ann_lsh_sql(),

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_payload, extract_features
+from ..operators.multimodal import attach_payload, extract_features, sample_frames
 from ..sources.parquet import load_table
 from ..streaming.windows import (
     run_stream_to_table,
@@ -126,6 +126,22 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+def q_stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restart: count over delivery A, terminate, deliver
+    a duplicate file B, restart from the SAME checkpoint — recovered
+    state + no reprocessing of A means exactly 2x the batch counts."""
+    from ..streaming.recovery import checkpoint_recovery_counts
+
+    out = checkpoint_recovery_counts(spark, sf_dir)
+    return out.orderBy("event_type")
+
+
+SQL_STREAM_CHECKPOINT_RECOVERY = """
+SELECT event_type, count(*) * 2 AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column + Arrow-batched (mapInPandas) feature
     extraction; byte statistics are oracle-checkable."""
@@ -145,6 +161,30 @@ ORDER BY doc_id
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: k strided byte-window 'frames' per payload,
+    fingerprinted — one row per frame via mapInPandas. ASCII fixture
+    text makes the byte-window md5 reproducible in SQL (substr)."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = attach_payload(d, "doc_id", "text")
+    return sample_frames(payloads, k=4, width=16).orderBy("doc_id", "frame_idx")
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH base AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+),
+f AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+         md5(substr(text, CAST(i * greatest(n // 4, 1) + 1 AS BIGINT), 16)) AS frame_md5,
+         CAST(length(substr(text, CAST(i * greatest(n // 4, 1) + 1 AS BIGINT), 16)) AS INTEGER) AS frame_len
+  FROM base, range(4) t(i)
+  WHERE i * greatest(n // 4, 1) < n
+)
+SELECT doc_id, frame_idx, frame_md5, frame_len FROM f ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = {
     "stream_tumbling_parity": q_stream_tumbling,
     "stream_sliding_parity": q_stream_sliding,
@@ -152,10 +192,13 @@ QUERIES = {
     "stream_stateful_user_stats": q_stream_stateful,
     "stream_dedup_parity": q_stream_dedup,
     "stream_stream_join_parity": q_stream_stream_join,
+    "stream_checkpoint_recovery": q_stream_checkpoint_recovery,
     "llm_multimodal_features": q_multimodal_features,
+    "llm_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLE_SQL = {
+    "stream_checkpoint_recovery": SQL_STREAM_CHECKPOINT_RECOVERY,
     "stream_dedup_parity": SQL_STREAM_DEDUP,
     "stream_stream_join_parity": SQL_STREAM_STREAM_JOIN,
     "stream_tumbling_parity": SQL_EVENTS_TUMBLING,
@@ -163,4 +206,5 @@ ORACLE_SQL = {
     "stream_session_parity": SQL_STREAM_SESSION,
     "stream_stateful_user_stats": SQL_STREAM_STATEFUL,
     "llm_multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "llm_multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }
