@@ -713,3 +713,83 @@ ORACLE_SQL = {
     "llm_langid": _langid_sql(),
     "llm_token_count": SQL_TOKEN_COUNT,
 }
+
+
+def q_zscore_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the remaining Arrow-Python surface
+    next to mapInPandas / scalar pandas_udf / applyInPandasWithState):
+    z-score normalize doc quality within each language group — each
+    group arrives as ONE pandas frame. The oracle computes the same
+    z-score with window aggregates; population stddev from exact
+    micro-int sums keeps both engines bit-identical.
+
+    Scale: applyInPandas shuffles by group key and materializes each
+    group in worker memory — correct for bounded groups (languages);
+    for unbounded groups prefer window expressions (as the oracle
+    shows this one could be)."""
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "lang",
+        # integer micro-quality so group sums are exact in both engines
+        F.floor(
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double"))
+            * 1000000.0
+        ).cast("long").alias("q_micro"),
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["q_micro"].astype("float64")
+        n = float(len(q))
+        mean = q.sum() / n
+        var = (q * q).sum() / n - mean * mean
+        sd = var ** 0.5
+        z = (q - mean) / sd if sd > 0 else q * 0.0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z_micro": np.floor(z * 1000000.0).astype("int64"),
+            }
+        )
+
+    return base.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id long, lang string, z_micro long"
+    )
+
+
+SQL_ZSCORE_GROUPED_MAP = """
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(floor((len(list_distinct(t))::DOUBLE / len(t)::DOUBLE) * 1000000.0) AS BIGINT) AS q_micro
+  FROM (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+  )
+),
+stats AS (
+  SELECT doc_id, lang, q_micro,
+         count(*) OVER w AS n,
+         sum(q_micro) OVER w AS s,
+         sum(q_micro * q_micro) OVER w AS s2
+  FROM base WINDOW w AS (PARTITION BY lang)
+),
+z AS (
+  SELECT doc_id, lang,
+         CASE WHEN (s2::DOUBLE / n::DOUBLE - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE)) > 0
+              THEN (q_micro::DOUBLE - s::DOUBLE / n::DOUBLE)
+                   / sqrt(s2::DOUBLE / n::DOUBLE - (s::DOUBLE / n::DOUBLE) * (s::DOUBLE / n::DOUBLE))
+              ELSE 0.0 END AS zval
+  FROM stats
+)
+SELECT doc_id, lang, CAST(floor(zval * 1000000.0) AS BIGINT) AS z_micro FROM z
+"""
+
+QUERIES["llm_zscore_grouped_map"] = q_zscore_grouped_map
+ORACLE_SQL["llm_zscore_grouped_map"] = SQL_ZSCORE_GROUPED_MAP

@@ -1356,3 +1356,53 @@ ORACLE_SQL.update(
         "tpch_union_by_name": SQL_UNION_BY_NAME,
     }
 )
+
+
+# --- SQL front-end (spark.sql over registered views) -------------------------
+def q_sql_api_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's second front-end: the same catalog the DataFrame
+    queries scan, registered as temp views and queried with spark.sql
+    (CTE + window + dense_rank). Identical Catalyst pipeline underneath
+    — this entry exists to pin the SQL surface, not a separate engine
+    path."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+                 count(*) AS n_orders
+          FROM v_orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT *, dense_rank() OVER (ORDER BY total_spend DESC) AS rnk
+          FROM spend
+        )
+        SELECT o_custkey AS custkey, CAST(total_spend AS DOUBLE) AS total_spend,
+               n_orders, rnk
+        FROM ranked WHERE rnk <= 20
+        ORDER BY rnk, custkey
+        """
+    )
+
+
+SQL_SQL_API_TOP_SPENDERS = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT *, dense_rank() OVER (ORDER BY total_spend DESC) AS rnk
+  FROM spend
+)
+SELECT o_custkey AS custkey, CAST(total_spend AS DOUBLE) AS total_spend,
+       n_orders, rnk
+FROM ranked WHERE rnk <= 20
+ORDER BY rnk, custkey
+"""
+
+
+QUERIES["tpch_sql_api_top_spenders"] = q_sql_api_top_spenders
+ORACLE_SQL["tpch_sql_api_top_spenders"] = SQL_SQL_API_TOP_SPENDERS
