@@ -155,6 +155,87 @@ FROM runs GROUP BY author HAVING max(run_len) >= 10
 """
 
 
+# --- Q2 literal variant: the duplicate-year reset bug, reproduced -------------
+def q2_literal_dupreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LITERAL Q2 semantics, preserved as a checked
+    artifact: duplicate years RESET the streak (Homework2.scala:217-221
+    — `sorted(i) == sorted(i-1) + 1` is false for equal years, so two
+    papers in one year truncate a decade-long run). Same
+    gaps-and-islands plan as the intended query but WITHOUT the
+    distinct: equal years land in different islands exactly as the
+    reference's scan resets its counter. Threshold lowered to 5 so the
+    deviation is visible on the fixture (rows differ from
+    dblp_q2_consecutive_years)."""
+    pubs = (
+        _pubs_with_venue(spark)
+        .filter(F.col("year").isNotNull())
+        .select(F.explode("aus").alias("author"), "year")
+        .filter(F.col("author") != "")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("author").orderBy("year")
+    runs = (
+        pubs.withColumn("grp", F.col("year") - F.row_number().over(w))
+        .groupBy("author", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("author")
+        .agg(F.max("run_len").alias("longest_run"))
+    )
+    return runs.filter(F.col("longest_run") >= 5)
+
+
+Q2_LITERAL_SQL = f"""
+WITH {_PUBS_CTE},
+ex AS (
+  SELECT unnest(aus) AS author, year
+  FROM pubs WHERE year IS NOT NULL
+),
+islands AS (
+  SELECT author, year,
+         year - row_number() OVER (PARTITION BY author ORDER BY year) AS island
+  FROM ex WHERE author <> ''
+),
+runs AS (
+  SELECT author, island, count(*) AS run_len
+  FROM islands GROUP BY author, island
+)
+SELECT author, max(run_len) AS longest_run
+FROM runs GROUP BY author HAVING max(run_len) >= 5
+"""
+
+
+# --- Q5 literal variant: the dead top-100 (emits ALL authors) -----------------
+def q5_literal_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LITERAL Q5: its top-100 eviction map is dead
+    code (guard at Homework2.scala:412 is always false), so every
+    author is emitted, sorted (volume desc, author asc by the stable
+    double sort :436-443). Preserved here as the no-limit variant of
+    the intended query."""
+    weighted = (
+        _pubs_with_venue(spark)
+        .filter(F.size("aus") > 0)
+        .select(F.explode("aus").alias("author"), F.size("aus").alias("w"))
+        .filter(F.col("author") != "")
+        .groupBy("author")
+        .agg(F.sum("w").alias("coauthor_volume"))
+    )
+    return weighted.orderBy(F.desc("coauthor_volume"), F.asc("author"))
+
+
+Q5_LITERAL_SQL = f"""
+WITH {_PUBS_CTE},
+ex AS (
+  SELECT unnest(aus) AS author, len(aus) AS w
+  FROM pubs WHERE len(aus) > 0
+)
+SELECT author, sum(w) AS coauthor_volume
+FROM ex WHERE author <> ''
+GROUP BY author
+ORDER BY coauthor_volume DESC, author ASC
+"""
+
+
 # --- Q3: per venue, titles of single-author publications ---------------------
 def q3_solo_titles_per_venue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference: MapTask3/ReduceTask3 (Homework2.scala:230-282):
@@ -439,9 +520,11 @@ QUERIES = {
     "dblp_coauthor_components": coauthor_components,
     "dblp_q1_top_authors_per_venue": q1_top_authors_per_venue,
     "dblp_q2_consecutive_years": q2_consecutive_years,
+    "dblp_q2_literal_dupreset": q2_literal_dupreset,
     "dblp_q3_solo_titles_per_venue": q3_solo_titles_per_venue,
     "dblp_q4_max_authors_per_venue": q4_max_authors_per_venue,
     "dblp_q5_top_coauthor_volume": q5_top_coauthor_volume,
+    "dblp_q5_literal_all": q5_literal_all,
     "dblp_q6_solo_only_authors": q6_solo_only_authors,
 }
 
@@ -451,8 +534,10 @@ ORACLE_SQL = {
     "dblp_coauthor_components": COAUTHOR_COMPONENTS_SQL,
     "dblp_q1_top_authors_per_venue": Q1_SQL,
     "dblp_q2_consecutive_years": Q2_SQL,
+    "dblp_q2_literal_dupreset": Q2_LITERAL_SQL,
     "dblp_q3_solo_titles_per_venue": Q3_SQL,
     "dblp_q4_max_authors_per_venue": Q4_SQL,
     "dblp_q5_top_coauthor_volume": Q5_SQL,
+    "dblp_q5_literal_all": Q5_LITERAL_SQL,
     "dblp_q6_solo_only_authors": Q6_SQL,
 }

@@ -69,8 +69,13 @@ def _nanos_normalized(path: str) -> str:
         isinstance(f.type, pa.TimestampType) and f.type.unit == "ns" for f in schema
     ):
         return path
+    import hashlib
+
     st = os.stat(path)
-    cache = f"/tmp/mrdbpl_norm_{abs(hash((path, st.st_mtime_ns, st.st_size)))}.parquet"
+    # md5, not hash(): Python string hashing is per-process randomized,
+    # which would defeat cross-process cache reuse of the rewrite.
+    key = f"{path}|{st.st_mtime_ns}|{st.st_size}".encode()
+    cache = f"/tmp/mrdbpl_norm_{hashlib.md5(key).hexdigest()[:16]}.parquet"
     if not os.path.exists(cache):
         table = pq.read_table(path)
         fields = [
