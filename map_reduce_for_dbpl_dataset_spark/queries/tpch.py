@@ -1406,3 +1406,51 @@ ORDER BY rnk, custkey
 
 QUERIES["tpch_sql_api_top_spenders"] = q_sql_api_top_spenders
 ORACLE_SQL["tpch_sql_api_top_spenders"] = SQL_SQL_API_TOP_SPENDERS
+
+
+# --- cogrouped-pandas as-of (cross-validates operators/asof.py) --------------
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics as tpch_asof_latest_order, implemented
+    with the remaining Arrow-Python surface: groupBy().cogroup()
+    .applyInPandas — both sides of a key arrive as aligned pandas
+    frames and pandas merge_asof does the point-in-time match. Shares
+    the native query's oracle, so the two implementations are proven
+    equivalent. The closure is self-contained (imports inside), so it
+    needs no package shipping.
+
+    Scale: cogroup shuffles BOTH sides by key and materializes each
+    key's rows in worker memory — fine for bounded per-key volumes;
+    the union-tag-window asof (operators/asof.py) is the streaming-
+    friendly form when single keys are huge."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+
+    def merge(le, ri):
+        import pandas as pd
+
+        cols = ["event_id", "user_id", "last_orderkey"]
+        if le.empty or ri.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        le = le.sort_values("ts").copy()
+        ri = ri.sort_values("o_orderdate")[["o_orderdate", "last_orderkey"]].copy()
+        le["ts"] = le["ts"].astype("datetime64[ns]")
+        ri["o_orderdate"] = ri["o_orderdate"].astype("datetime64[ns]")
+        m = pd.merge_asof(
+            le, ri, left_on="ts", right_on="o_orderdate", direction="backward"
+        )
+        m = m.dropna(subset=["last_orderkey"])
+        return m[cols].astype({c: "int64" for c in cols})
+
+    return (
+        events.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(merge, schema="event_id long, user_id long, last_orderkey long")
+    )
+
+
+QUERIES["tpch_asof_cogroup"] = q_asof_cogroup
+ORACLE_SQL["tpch_asof_cogroup"] = SQL_ASOF_LATEST_ORDER
