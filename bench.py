@@ -52,6 +52,9 @@ def main() -> None:
 
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import PUBLICATIONS_PATH
+
+    spark.read.parquet(PUBLICATIONS_PATH).count()
     warm = spark.range(1000).select(
         (F.col("id") % 10).alias("k"), F.array(F.lit("a"), F.lit("b")).alias("arr")
     )

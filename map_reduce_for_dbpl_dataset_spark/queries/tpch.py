@@ -1469,3 +1469,39 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["tpch_asof_cogroup"] = q_asof_cogroup
 ORACLE_SQL["tpch_asof_cogroup"] = SQL_ASOF_LATEST_ORDER
+
+
+# --- time-range window frame --------------------------------------------------
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (vs the ROWS frames elsewhere):
+    per customer, how many orders landed in the 30 days up to and
+    including each order. Ordering on epoch seconds keeps the frame
+    arithmetic numeric and portable; Spark's rangeBetween and DuckDB's
+    RANGE BETWEEN see identical bounds."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "epoch_s", F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_last_30d"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT o_orderkey, o_custkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_last_30d
+FROM orders
+"""
+
+
+QUERIES["tpch_window_range_frame"] = q_window_range_frame
+ORACLE_SQL["tpch_window_range_frame"] = SQL_WINDOW_RANGE_FRAME
