@@ -793,3 +793,86 @@ SELECT doc_id, lang, CAST(floor(zval * 1000000.0) AS BIGINT) AS z_micro FROM z
 
 QUERIES["llm_zscore_grouped_map"] = q_zscore_grouped_map
 ORACLE_SQL["llm_zscore_grouped_map"] = SQL_ZSCORE_GROUPED_MAP
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term weighting (SURVEY.md §2.2 text-analysis list):
+    tf = term count in doc, idf = N/df (LINEAR idf, not log — IEEE
+    division is correctly rounded so both engines produce identical
+    doubles; ln() is not so guaranteed, and a log-idf oracle could
+    flake on floor boundaries). Top-3 non-stopword terms per doc by
+    (tfidf desc, term asc) for the first 50 docs.
+
+    Scale: one explode + two aggregates (df per term, tf per doc-term)
+    + a broadcast of the term-df table; WindowGroupLimit bounds the
+    per-doc rank."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    terms = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .filter(~F.array_contains(stop, F.col("term")) & (F.col("term") != ""))
+    )
+    n_docs = d.count()  # driver scalar: one tiny job, constant-folds into the plan
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "tfidf_micro",
+            F.floor(
+                F.col("tf").cast("double")
+                * (F.lit(float(n_docs)) / F.col("df").cast("double"))
+                * 1000000.0
+            ).cast("long"),
+        )
+        .filter(F.col("doc_id") < 50)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf_micro", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+terms AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+),
+filtered AS (
+  SELECT doc_id, term FROM terms
+  WHERE term <> '' AND NOT list_contains([{_STOP_LIST}], term)
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM filtered GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM filtered GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(floor(tf.tf::DOUBLE * (n.n_docs::DOUBLE / df.df::DOUBLE) * 1000000.0) AS BIGINT) AS tfidf_micro
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 50
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_micro DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf_micro, rn
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
+"""
+
+
+QUERIES["llm_tfidf_top_terms"] = q_tfidf_top_terms
+ORACLE_SQL["llm_tfidf_top_terms"] = _tfidf_sql()

@@ -161,6 +161,52 @@ ORDER BY doc_id
 """
 
 
+def q_stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands through an arbitrary
+    BATCH writer (parquet append here — in production: JDBC upsert,
+    Delta merge, dual-sink fan-out). Two deliveries -> two batches ->
+    two appended directories; reading the landed files back must show
+    every event exactly once per delivery."""
+    import shutil
+    import uuid
+
+    from ..streaming.windows import stream_events_duplicated
+
+    out_dir = f"/tmp/mrdbpl_feb_{uuid.uuid4().hex[:8]}"
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("event_id", "event_type").write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        stream_events_duplicated(spark, sf_dir)
+        .writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    landed = spark.read.parquet(out_dir)
+    result = (
+        landed.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_landed"))
+        .orderBy("event_type")
+    )
+    rows = result.collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + "_ckpt", ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+SQL_STREAM_FOREACHBATCH = """
+SELECT event_type, count(*) * 2 AS n_landed
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: k strided byte-window 'frames' per payload,
     fingerprinted — one row per frame via mapInPandas. ASCII fixture
@@ -193,12 +239,14 @@ QUERIES = {
     "stream_dedup_parity": q_stream_dedup,
     "stream_stream_join_parity": q_stream_stream_join,
     "stream_checkpoint_recovery": q_stream_checkpoint_recovery,
+    "stream_foreachbatch_sink": q_stream_foreachbatch,
     "llm_multimodal_features": q_multimodal_features,
     "llm_multimodal_frames": q_multimodal_frames,
 }
 
 ORACLE_SQL = {
     "stream_checkpoint_recovery": SQL_STREAM_CHECKPOINT_RECOVERY,
+    "stream_foreachbatch_sink": SQL_STREAM_FOREACHBATCH,
     "stream_dedup_parity": SQL_STREAM_DEDUP,
     "stream_stream_join_parity": SQL_STREAM_STREAM_JOIN,
     "stream_tumbling_parity": SQL_EVENTS_TUMBLING,
