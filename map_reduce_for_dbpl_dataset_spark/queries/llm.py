@@ -820,7 +820,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df")
     )
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        # unhinted: the term-df table scales with vocabulary; let the
+        # size threshold + AQE choose broadcast (it does locally)
+        tf.join(df_, "term")
         .withColumn(
             "tfidf_micro",
             F.floor(

@@ -72,7 +72,12 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.select("l_orderkey", rev)
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        # no forced hint on dims: it scales with |customer|, so the
+        # broadcast-vs-shuffle decision belongs to the size threshold +
+        # AQE (broadcasts at bench scale, degrades safely at 100 TB —
+        # a forced hint would OOM there). nation/region above are
+        # constant-size and safely hinted.
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(F.sum("rev").cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("region", "nation")
