@@ -29,6 +29,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except ImportError:
         pass
     try:
+        from . import pipeline
+
+        out.update(pipeline.QUERIES)
+    except ImportError:
+        pass
+    try:
         from . import streaming_queries
 
         out.update(streaming_queries.QUERIES)
@@ -56,6 +62,12 @@ def all_oracle_sql() -> dict[str, str]:
         from . import llm
 
         out.update(llm.ORACLE_SQL)
+    except ImportError:
+        pass
+    try:
+        from . import pipeline
+
+        out.update(pipeline.ORACLE_SQL)
     except ImportError:
         pass
     try:

@@ -1,0 +1,395 @@
+"""Training-data pipeline queries (LLM-pipeline extensions, second
+batch): benchmark decontamination, PII scrubbing, domain-mixture
+sampling, sequence packing, intra-document repetition scoring, and
+IVF-partitioned ANN.
+
+No reference counterpart (the reference's surface is the six DBLP
+queries — SURVEY.md §2.2); these are the operations a 100 TB
+training-data pipeline layers on top of the dedup/similarity family
+in queries/llm.py.
+
+Portability contract (same as llm.py): every compared value is
+produced by constructs with identical semantics in Spark SQL and
+DuckDB — md5-based hash60, integer arithmetic, IEEE-double division
++ floor. The oracle re-implements the SAME algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60, normalize_text, tokens
+from ..operators.similarity import ivf_topk
+from ..sources.parquet import load_table
+from .llm import _SH_CTE, EMB_DIM, N_QUERY_VECS, _docs_shingled
+
+# --- decontamination ---------------------------------------------------------
+# Held-out "benchmark" split: every 20th doc. In production the test
+# side is a real benchmark suite (bounded, MBs); here it is carved
+# from the corpus so the oracle sees the identical split.
+TEST_MOD = 20
+CONTAM_THRESHOLD_MICRO = 500_000
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each training document, the
+    containment of its 3-word shingle set in the union of benchmark
+    shingles — flag docs above 50%. The standard pre-training hygiene
+    pass (e.g. GPT-3 appendix C; 13-gram overlap) at shingle
+    granularity.
+
+    Scale: the exploded-shingle semi-join shuffles on the shingle
+    string. With a real benchmark suite the right side is bounded and
+    the join broadcasts; here the split scales with the corpus, so
+    the strategy is left to the size threshold + AQE. Counting
+    distinct hits per doc is one partial-aggregated pass."""
+    sh = _docs_shingled(spark, sf_dir)
+    ex = sh.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    test_sh = ex.filter(F.col("doc_id") % TEST_MOD == 0).select("shingle").distinct()
+    train = ex.filter(F.col("doc_id") % TEST_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(test_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .withColumn(
+            "contain_micro",
+            F.floor(F.col("n_hit") * 1000000.0 / F.col("n_shingles")).cast("long"),
+        )
+        .withColumn("is_contaminated", F.col("contain_micro") >= CONTAM_THRESHOLD_MICRO)
+        .select("doc_id", "n_shingles", "n_hit", "contain_micro", "is_contaminated")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SH_CTE},
+ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+test_sh AS (SELECT DISTINCT shingle FROM ex WHERE doc_id % {TEST_MOD} = 0),
+train AS (SELECT * FROM ex WHERE doc_id % {TEST_MOD} != 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit FROM train
+  WHERE shingle IN (SELECT shingle FROM test_sh) GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_shingles, coalesce(h.n_hit, 0) AS n_hit,
+       CAST(floor(coalesce(h.n_hit, 0) * 1000000.0 / s.n_shingles) AS BIGINT) AS contain_micro,
+       coalesce(h.n_hit, 0) * 1000000.0 / s.n_shingles >= {CONTAM_THRESHOLD_MICRO}
+         AS is_contaminated
+FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+ORDER BY s.doc_id
+"""
+
+
+# --- PII scrubbing -----------------------------------------------------------
+# The fixture text is synthetic word salad, so PII is injected
+# deterministically (identically in both engines) before scrubbing —
+# the operator under test is the scrub itself.
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "[0-9]{7,}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex-scrub emails and long digit runs, report
+    per-doc redaction counts and a hash of the scrubbed text. Pure
+    JVM-side regexp_* expressions — at 100 TB this is a narrow map
+    over the scan with zero shuffles; counts come from
+    regexp_extract_all (one pass) and the scrub from two
+    regexp_replace passes."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com tel "),
+        ((F.col("doc_id") * 7919) % 9000000 + 1000000).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.length(scrubbed).alias("scrub_len"),
+        hash60(scrubbed).alias("scrub_hash"),
+    ).orderBy("doc_id")
+
+
+SQL_PII_SCRUB = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@mail.example.com tel '
+              || ((doc_id * 7919) % 9000000 + 1000000)::VARCHAR AS a
+  FROM documents
+),
+s AS (
+  SELECT doc_id, a,
+         regexp_replace(regexp_replace(a, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(a, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(a, '{_PHONE_RE}')) AS n_phones,
+       length(scrubbed) AS scrub_len,
+       ('0x' || substr(md5(scrubbed), 1, 15))::BIGINT AS scrub_hash
+FROM s ORDER BY doc_id
+"""
+
+
+# --- domain-mixture sampling -------------------------------------------------
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-source target rates (derived
+    deterministically from the source name), applied as a per-row
+    hash gate — the standard way to hit a target data mixture
+    (e.g. The Pile / Dolma mixture weights) without a shuffle.
+
+    Scale: the gate is a narrow filter on the scan (no sample()
+    nondeterminism, no repartition); the report is one partial-agg
+    groupBy over ~constant source cardinality."""
+    d = load_table(spark, sf_dir, "documents")
+    weight = (F.lit(100000) + hash60(F.col("source")) % 900000).alias("weight_micro")
+    gate = hash60(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")))
+    kept = (gate % 1000000) < F.col("weight_micro")
+    return (
+        d.select(
+            "source",
+            weight,
+            F.size(tokens(F.col("text"))).alias("_ntok"),
+            kept.alias("_kept"),
+        )
+        .groupBy("source", "weight_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("_kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("_kept"), F.col("_ntok")).otherwise(0)).alias("tokens_kept"),
+        )
+        .withColumn(
+            "realized_micro",
+            F.floor(F.col("n_kept") * 1000000.0 / F.col("n_total")).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH w AS (
+  SELECT doc_id, source,
+         100000 + ('0x' || substr(md5(source), 1, 15))::BIGINT % 900000 AS weight_micro,
+         ('0x' || substr(md5(source || ':' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+           AS gate,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS ntok
+  FROM documents
+),
+g AS (
+  SELECT source, weight_micro,
+         count(*) AS n_total,
+         sum(CASE WHEN gate < weight_micro THEN 1 ELSE 0 END) AS n_kept,
+         sum(CASE WHEN gate < weight_micro THEN ntok ELSE 0 END) AS tokens_kept
+  FROM w GROUP BY source, weight_micro
+)
+SELECT source, weight_micro, n_total, n_kept, tokens_kept,
+       CAST(floor(n_kept * 1000000.0 / n_total) AS BIGINT) AS realized_micro
+FROM g ORDER BY source
+"""
+
+
+# --- sequence packing --------------------------------------------------------
+PACK_BUDGET = 256
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents in deterministic order
+    within each language stream and cut packs every PACK_BUDGET
+    tokens (a doc belongs to the pack where it starts) — the
+    concat-and-chunk layout used to build training batches.
+
+    Expressed as a running-sum window + integer division: one shuffle
+    on (lang), no UDF, no collect. At 100 TB the stream key would be
+    (lang, shard) so each window partition stays bounded; the pack
+    report aggregates with partial aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(float(PACK_BUDGET))).cast(
+            "long"
+        ),
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM base
+)
+SELECT lang, pack_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY lang, pack_id ORDER BY lang, pack_id
+"""
+
+
+# --- intra-document repetition ----------------------------------------------
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: fraction of repeated 3-word shingles per
+    document (C4/Gopher-style "repetitious text" quality gate). All
+    array expressions over the shared shingle table — a narrow map,
+    no shuffle, no explode."""
+    sh = _docs_shingled(spark, sf_dir)
+    n_total = F.size("shingles")
+    n_distinct = F.size(F.array_distinct("shingles"))
+    return (
+        sh.filter(n_total > 0)
+        .select(
+            "doc_id",
+            n_total.alias("n_shingles"),
+            n_distinct.alias("n_distinct"),
+            F.floor((n_total - n_distinct) * 1000000.0 / n_total).cast("long").alias(
+                "rep_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+shm AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+              ELSE [] END AS ss
+  FROM toks
+)
+SELECT doc_id, len(ss) AS n_shingles, len(list_distinct(ss)) AS n_distinct,
+       CAST(floor((len(ss) - len(list_distinct(ss))) * 1000000.0 / len(ss)) AS BIGINT)
+         AS rep_micro
+FROM shm WHERE len(ss) > 0 ORDER BY doc_id
+"""
+
+
+# --- IVF ANN -----------------------------------------------------------------
+# Coarse "codebook": the vectors right after the query range act as
+# fixed centroids (a real pipeline trains k-means; the layout and
+# joins are identical).
+IVF_CENTROID_IDS = list(range(N_QUERY_VECS, N_QUERY_VECS + 8))
+IVF_N_PROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (see operators/similarity.py ivf_topk):
+    assign every vector to its nearest centroid cell, probe the 2
+    nearest cells per query, exact-rank within the probed cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        centroids=e.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)),
+        centroid_id_col="vec_id",
+        k=3,
+        n_probe=IVF_N_PROBE,
+    ).orderBy("query_id", "neighbor_id")
+
+
+_IVF_QUANT = "[CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding]"
+_IVF_DOT = f"CAST(list_sum([a.q[i] * c.kq[i] for i in range(1, {EMB_DIM + 1})]) AS DOUBLE)"
+
+
+def _ivf_sql() -> str:
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    return f"""
+WITH q0 AS (
+  SELECT vec_id, {_IVF_QUANT} AS q FROM embeddings
+),
+n AS (
+  SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2 FROM q0
+),
+cents AS (
+  SELECT vec_id AS cell, q AS kq, n2 AS kn2 FROM n WHERE vec_id IN ({ids})
+),
+assign0 AS (
+  SELECT a.vec_id, a.q, a.n2, c.cell,
+         {_IVF_DOT} / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.kn2 AS DOUBLE)) AS cos,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_IVF_DOT} / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.kn2 AS DOUBLE)) DESC,
+                                     c.cell ASC) AS rn
+  FROM n a CROSS JOIN cents c
+),
+cells AS (SELECT vec_id AS neighbor_id, q, n2, cell FROM assign0 WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, q, n2, cell FROM assign0
+  WHERE rn <= {IVF_N_PROBE} AND vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         CAST(list_sum([p.q[i] * c.q[i] for i in range(1, {EMB_DIM + 1})]) AS DOUBLE)
+           / sqrt(CAST(p.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+  FROM probes p JOIN cells c ON c.cell = p.cell AND c.neighbor_id != p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
+"""
+
+
+QUERIES = {
+    "llm_decontaminate": q_decontaminate,
+    "llm_pii_scrub": q_pii_scrub,
+    "llm_domain_mixture": q_domain_mixture,
+    "llm_sequence_pack": q_sequence_pack,
+    "llm_repetition": q_repetition,
+    "llm_ann_ivf": q_ann_ivf,
+}
+
+ORACLE_SQL = {
+    "llm_decontaminate": SQL_DECONTAMINATE,
+    "llm_pii_scrub": SQL_PII_SCRUB,
+    "llm_domain_mixture": SQL_DOMAIN_MIXTURE,
+    "llm_sequence_pack": SQL_SEQUENCE_PACK,
+    "llm_repetition": SQL_REPETITION,
+    "llm_ann_ivf": _ivf_sql(),
+}
