@@ -514,8 +514,89 @@ SELECT src AS author, min(dst) AS component FROM reach GROUP BY src
 """
 
 
+# --- PageRank over the co-author graph (iterative, integer-exact) ------------
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the symmetric co-author graph —
+    the canonical iterative-MapReduce chain (the reference's Hadoop
+    lineage: rank mass flows along edges each superstep; SURVEY.md §4
+    names this the PageRank-style ancestry of coauthor_components).
+
+    All arithmetic is scaled-integer (`div`, not `/`) so the result
+    is exactly order-independent and bit-identical to the oracle:
+      contrib(u→v) = r(u) div deg(u)
+      r'(v) = (15·base) div 100 + (85·Σ contrib) div 100
+    with base = SCALE div |V|. Every node of the symmetric graph has
+    in-degree = out-degree ≥ 1, so no dangling-mass term is needed.
+
+    Scale: the loop-invariant (edge ⋈ degree) table is persisted once;
+    each of the 3 iterations is one shuffle-join on src plus one
+    partial-aggregated groupBy on dst — the same two exchanges a
+    Pregel superstep costs. Lineage stays 3 plans deep (no checkpoint
+    needed at fixed small iteration counts; coauthor_components shows
+    the localCheckpoint pattern for unbounded fixpoints)."""
+    ex = (
+        _pubs_with_venue(spark)
+        .select(F.col("key").alias("pub"), F.explode(F.array_distinct("aus")).alias("a"))
+        .filter(F.col("a") != "")
+    )
+    bi = (
+        ex.select("pub", F.col("a").alias("src"))
+        .join(ex.select("pub", F.col("a").alias("dst")), "pub")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ew = bi.join(deg, "src").persist()
+    n = deg.count()
+    base = PR_SCALE // n
+    teleport = (15 * base) // 100
+    ranks = deg.select(F.col("src").alias("node"), F.lit(base).cast("long").alias("rank"))
+    for _ in range(PR_ITERS):
+        contribs = ew.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), F.expr("rank div deg").alias("c")
+        )
+        ranks = contribs.groupBy("node").agg(F.sum("c").alias("s")).select(
+            "node",
+            (F.lit(teleport) + F.expr("(85 * s) div 100")).cast("long").alias("rank"),
+        )
+    return ranks.select(
+        F.col("node").alias("author"), F.col("rank").alias("pr_scaled")
+    ).orderBy("author")
+
+
+def _pagerank_sql() -> str:
+    iter_cte = """
+r{next} AS (
+  SELECT bi.dst AS node,
+         (15::BIGINT * (SELECT base FROM b)) // 100
+         + (85::BIGINT * sum(r.rank // d.deg)) // 100 AS rank
+  FROM bi JOIN r{cur} r ON bi.src = r.node JOIN deg d ON bi.src = d.src
+  GROUP BY bi.dst
+)"""
+    iters = ",".join(iter_cte.format(cur=i, next=i + 1) for i in range(PR_ITERS))
+    return f"""
+WITH {_PUBS_CTE},
+ex AS (SELECT key, unnest(list_distinct(aus)) AS a FROM pubs),
+pe AS (SELECT key, a FROM ex WHERE a <> ''),
+bi AS (
+  SELECT DISTINCT l.a AS src, r.a AS dst
+  FROM pe l JOIN pe r ON l.key = r.key AND l.a <> r.a
+),
+deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
+b AS (SELECT {PR_SCALE}::BIGINT // count(*) AS base FROM deg),
+r0 AS (SELECT src AS node, (SELECT base FROM b) AS rank FROM deg),{iters}
+SELECT node AS author, rank AS pr_scaled FROM r{PR_ITERS} ORDER BY author
+"""
+
+
 QUERIES = {
     "dblp_xml_ingest": xml_ingest,
+    "dblp_pagerank": pagerank,
     "dblp_coauthor_pairs": coauthor_pairs,
     "dblp_coauthor_components": coauthor_components,
     "dblp_q1_top_authors_per_venue": q1_top_authors_per_venue,
@@ -530,6 +611,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "dblp_xml_ingest": XML_INGEST_SQL,
+    "dblp_pagerank": _pagerank_sql(),
     "dblp_coauthor_pairs": COAUTHOR_PAIRS_SQL,
     "dblp_coauthor_components": COAUTHOR_COMPONENTS_SQL,
     "dblp_q1_top_authors_per_venue": Q1_SQL,

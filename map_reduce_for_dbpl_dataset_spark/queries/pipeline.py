@@ -376,8 +376,61 @@ FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
 """
 
 
+# --- edit-distance near-dup --------------------------------------------------
+LEV_SEEDS = 25
+LEV_MAX_DIST = 5
+LEV_BLOCK_LEN = 24
+
+
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs with prefix blocking: block
+    on the first 24 chars, compare only within blocks, keep pairs with
+    levenshtein ≤ 5. The fixture corpus has no natural near-identical
+    pairs, so mutants (doc_id+300000, text + ' qz', distance exactly 3)
+    of the first 25 docs are injected identically in both engines.
+
+    Scale: blocking bounds the candidate set — the join shuffles on
+    the 24-char prefix, so cost is Σ block² not corpus²; real corpora
+    combine length bands + prefix. Spark ≥3.5's 3-arg
+    levenshtein(l, r, threshold) early-exits the DP at the bound (the
+    2-arg form is used here for oracle parity; DuckDB has no
+    threshold form)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") < LEV_SEEDS).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat("text", F.lit(" qz")).alias("text"),
+    )
+    blk = d.unionAll(mut).withColumn("blk", F.substring("text", 1, LEV_BLOCK_LEN))
+    a, b = blk.alias("a"), blk.alias("b")
+    return (
+        a.join(b, [F.col("a.blk") == F.col("b.blk"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("dist"),
+        )
+        .filter(F.col("dist") <= LEV_MAX_DIST)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_DEDUP_LEVENSHTEIN = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text || ' qz' FROM documents WHERE doc_id < {LEV_SEEDS}
+),
+blk AS (SELECT doc_id, text, substr(text, 1, {LEV_BLOCK_LEN}) AS blk FROM corpus)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.text, b.text) AS dist
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= {LEV_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "llm_decontaminate": q_decontaminate,
+    "llm_dedup_levenshtein": q_dedup_levenshtein,
     "llm_pii_scrub": q_pii_scrub,
     "llm_domain_mixture": q_domain_mixture,
     "llm_sequence_pack": q_sequence_pack,
@@ -387,6 +440,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "llm_decontaminate": SQL_DECONTAMINATE,
+    "llm_dedup_levenshtein": SQL_DEDUP_LEVENSHTEIN,
     "llm_pii_scrub": SQL_PII_SCRUB,
     "llm_domain_mixture": SQL_DOMAIN_MIXTURE,
     "llm_sequence_pack": SQL_SEQUENCE_PACK,

@@ -1510,3 +1510,115 @@ FROM orders
 
 QUERIES["tpch_window_range_frame"] = q_window_range_frame
 ORACLE_SQL["tpch_window_range_frame"] = SQL_WINDOW_RANGE_FRAME
+
+
+# --- Python UDTF (lateral table function) ------------------------------------
+def q_udtf_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark >= 3.5 `udtf`), the
+    modern replacement for the reference's Mapper-as-extension surface
+    (SURVEY.md §2.2 U1): one input row yields many output rows,
+    applied via a SQL LATERAL join. The UDTF here emits the running
+    triangular series 1..n per region.
+
+    Scale: UDTFs execute on the executors row-partition-wise like any
+    Python UDF (no shuffle introduced by the lateral itself); the
+    closed-form oracle (i·(i+1)/2) cross-checks the stateful loop."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i int, cum bigint")
+    class SeriesSum:
+        def eval(self, n):
+            s = 0
+            for i in range(1, (n or 0) + 1):
+                s += i
+                yield i, s
+
+    spark.udtf.register("series_sum", SeriesSum)
+    _t(spark, sf_dir, "region").createOrReplaceTempView("_udtf_region")
+    return spark.sql(
+        """
+        SELECT r_name, t.i, t.cum
+        FROM _udtf_region, LATERAL series_sum(CAST(r_regionkey AS INT) + 3) t
+        """
+    ).orderBy("r_name", "i")
+
+
+SQL_UDTF_SERIES = """
+SELECT r_name, CAST(gs.i AS INT) AS i, gs.i * (gs.i + 1) // 2 AS cum
+FROM region r
+CROSS JOIN LATERAL (SELECT unnest(range(1, r.r_regionkey + 4)) AS i) gs
+ORDER BY r_name, i
+"""
+
+QUERIES["tpch_udtf_series"] = q_udtf_series
+ORACLE_SQL["tpch_udtf_series"] = SQL_UDTF_SERIES
+
+
+# --- posexplode (ordinal-preserving flatten) ---------------------------------
+def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: flatten an array keeping each element's ordinal —
+    the generator-with-ordinality piece of the UDTF surface that the
+    plain explode queries don't cover. Narrow generate, no shuffle;
+    at scale the fan-out multiplies rows before the first exchange, so
+    it composes with pushed filters on the parent row."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.split("p_name", " ").alias("l")
+    )
+    return p.select(
+        "p_partkey", F.posexplode("l").alias("pos", "word")
+    ).orderBy("p_partkey", "pos")
+
+
+SQL_LATERAL_POSEXPLODE = """
+WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part)
+SELECT p_partkey, CAST(u.i - 1 AS INT) AS pos, l[u.i] AS word
+FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i) u
+ORDER BY p_partkey, pos
+"""
+
+QUERIES["tpch_lateral_posexplode"] = q_lateral_posexplode
+ORACLE_SQL["tpch_lateral_posexplode"] = SQL_LATERAL_POSEXPLODE
+
+
+# --- unpivot / melt (inverse of tpch_pivot_status) ---------------------------
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot (df.unpivot / SQL UNPIVOT): wide per-status measures to
+    long (measure, value) rows — the inverse of tpch_pivot_status.
+    Money goes through DECIMAL then floor so the long values are exact
+    integers on both engines. The unpivot itself is a narrow
+    expression (Expand node), zero extra shuffles after the agg."""
+    g = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.floor(F.sum(F.col("o_totalprice").cast(D))).cast("long").alias("sum_price_fl"),
+            F.floor(F.max("o_totalprice")).cast("long").alias("max_price_fl"),
+        )
+    )
+    return g.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "sum_price_fl", "max_price_fl"],
+        "measure",
+        "value",
+    ).orderBy("o_orderstatus", "measure")
+
+
+SQL_UNPIVOT_MELT = """
+WITH g AS (
+  SELECT o_orderstatus,
+         count(*) AS n_orders,
+         CAST(floor(sum(CAST(o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS sum_price_fl,
+         CAST(floor(max(o_totalprice)) AS BIGINT) AS max_price_fl
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'n_orders' AS measure, n_orders AS value FROM g
+UNION ALL
+SELECT o_orderstatus, 'sum_price_fl', sum_price_fl FROM g
+UNION ALL
+SELECT o_orderstatus, 'max_price_fl', max_price_fl FROM g
+ORDER BY o_orderstatus, measure
+"""
+
+QUERIES["tpch_unpivot_melt"] = q_unpivot_melt
+ORACLE_SQL["tpch_unpivot_melt"] = SQL_UNPIVOT_MELT
