@@ -136,3 +136,43 @@ ORACLE_SQL = {
     "tpch_sink_json_roundtrip": SQL_SINK_JSON_ROUNDTRIP,
     "tpch_sink_orc_roundtrip": SQL_SINK_ORC_ROUNDTRIP,
 }
+
+
+# --- custom Python DataSource (partitioned synthetic source) -----------------
+PYSRC_ROWS = 300
+PYSRC_PARTS = 8
+_PYSRC_RPP = -(-PYSRC_ROWS // PYSRC_PARTS)
+
+
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read through the custom Python DataSource (sources/pysource.py)
+    — Spark 4's pluggable source API, the engine's generalization of
+    the reference's hand-threaded XML loader (dblpXMLparser.scala:
+    37-59): N independent InputPartitions scheduled as tasks instead
+    of one driver-side DOM + thread pool. The DuckDB range() oracle
+    reproduces the deterministic shard/payload/hash layout exactly."""
+    from ..session import ship_package
+    from ..sources.pysource import FORMAT_NAME, register
+
+    ship_package(spark)
+    register(spark)
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("n_rows", PYSRC_ROWS)
+        .option("n_parts", PYSRC_PARTS)
+        .load()
+        .orderBy("id")
+    )
+
+
+SQL_PYTHON_DATASOURCE = f"""
+SELECT i AS id,
+       CAST(i // {_PYSRC_RPP} AS INT) AS shard,
+       'doc-' || i::VARCHAR AS payload,
+       ('0x' || substr(md5('doc-' || i::VARCHAR), 1, 15))::BIGINT AS h
+FROM range(0, {PYSRC_ROWS}) t(i)
+ORDER BY id
+"""
+
+QUERIES["src_python_datasource"] = q_python_datasource
+ORACLE_SQL["src_python_datasource"] = SQL_PYTHON_DATASOURCE

@@ -1622,3 +1622,100 @@ ORDER BY o_orderstatus, measure
 
 QUERIES["tpch_unpivot_melt"] = q_unpivot_melt
 ORACLE_SQL["tpch_unpivot_melt"] = SQL_UNPIVOT_MELT
+
+
+# --- merge / upsert (SCD1) ----------------------------------------------------
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert without a table format: apply a delta batch
+    (updates for every 10th customer, inserts of new ids) onto the
+    customer dimension via one full-outer join — the portable core of
+    MERGE INTO (Delta/Iceberg implement exactly this join + file
+    rewrite underneath).
+
+    Scale: one shuffle on the merge key. With a real table format the
+    join is pruned to touched files; expressed relationally, AQE
+    handles the (delta << base) size asymmetry by broadcasting the
+    delta side."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", (F.col("c_acctbal") + 100.0).alias("c_acctbal")
+    )
+    ins = c.filter(F.col("c_custkey") < 50).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), "c_name").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    delta = upd.unionAll(ins)
+    b, d = c.alias("b"), delta.alias("d")
+    return (
+        b.join(d, F.col("b.c_custkey") == F.col("d.c_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("d.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+            F.coalesce(F.col("d.c_name"), F.col("b.c_name")).alias("c_name"),
+            F.coalesce(F.col("d.c_acctbal"), F.col("b.c_acctbal")).alias("c_acctbal"),
+            F.when(F.col("b.c_custkey").isNull(), F.lit("inserted"))
+            .when(F.col("d.c_custkey").isNull(), F.lit("unchanged"))
+            .otherwise(F.lit("updated"))
+            .alias("merge_action"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+SQL_MERGE_UPSERT = """
+WITH delta AS (
+  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new-' || c_name, 0.0 FROM customer WHERE c_custkey < 50
+)
+SELECT coalesce(d.c_custkey, b.c_custkey) AS c_custkey,
+       coalesce(d.c_name, b.c_name) AS c_name,
+       coalesce(d.c_acctbal, b.c_acctbal) AS c_acctbal,
+       CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+            WHEN d.c_custkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM customer b FULL OUTER JOIN delta d ON b.c_custkey = d.c_custkey
+ORDER BY c_custkey
+"""
+
+QUERIES["tpch_merge_upsert"] = q_merge_upsert
+ORACLE_SQL["tpch_merge_upsert"] = SQL_MERGE_UPSERT
+
+
+# --- approximate distinct (HLL sketch) ---------------------------------------
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog) next to the exact count —
+    the sketch path a 100 TB profiler uses (fixed-size state, one
+    pass, mergeable across partitions — no distinct shuffle). Each
+    engine checks its OWN sketch against the exact value (the compared
+    column is the deterministic within-10% verdict, not the
+    engine-specific estimate)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_n"),
+            F.approx_count_distinct("o_custkey", 0.05).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_n",
+            (F.abs(F.col("_approx") - F.col("exact_n")) <= 0.1 * F.col("exact_n")).alias(
+                "approx_ok"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT o_orderpriority,
+       count(DISTINCT o_custkey) AS exact_n,
+       abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+         <= 0.1 * count(DISTINCT o_custkey) AS approx_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["tpch_approx_distinct"] = q_approx_distinct
+ORACLE_SQL["tpch_approx_distinct"] = SQL_APPROX_DISTINCT
