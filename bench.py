@@ -52,9 +52,22 @@ def main() -> None:
 
     spark.range(1000).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # first scan of the string-heavy table pays file listing + footer +
+    # scan codegen; that's session init, not query cost
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     from map_reduce_for_dbpl_dataset_spark.sources.parquet import PUBLICATIONS_PATH
 
     spark.read.parquet(PUBLICATIONS_PATH).count()
+    # codegen-warm the regex/split/higher-order-function expression
+    # paths on synthetic strings (NOT the real shingle table — its
+    # build cost stays charged to the first dedup query)
+    spark.range(1000).select(
+        F.zip_with(
+            F.split(F.regexp_replace(F.lit("a b  c d e"), r"\s+", " "), " "),
+            F.array(F.lit("x"), F.lit("y")),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ).alias("z")
+    ).selectExpr("sum(size(z))").collect()
     warm = spark.range(1000).select(
         (F.col("id") % 10).alias("k"), F.array(F.lit("a"), F.lit("b")).alias("arr")
     )

