@@ -878,3 +878,56 @@ FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
 
 QUERIES["llm_tfidf_top_terms"] = q_tfidf_top_terms
 ORACLE_SQL["llm_tfidf_top_terms"] = _tfidf_sql()
+
+
+# --- mapInArrow (lowest-level Arrow batch surface) ---------------------------
+def q_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting through mapInArrow — the lowest-level Python
+    execution surface (raw pyarrow RecordBatch in/out, no pandas
+    conversion), completing the Arrow matrix next to mapInPandas /
+    scalar pandas_udf / grouped & cogrouped applyInPandas /
+    applyInPandasWithState (SURVEY.md §2.2 U1). Same semantics as
+    llm_token_count, so the two shapes share one oracle and
+    cross-check each other.
+
+    Scale: batches stream through the worker with zero-copy Arrow
+    transport; per-batch Python cost is the regex loop — for the hot
+    path prefer the JVM regexp exprs (llm_token_count IS that query);
+    this form exists for logic that genuinely needs Python (custom
+    tokenizers, sentencepiece, etc.)."""
+    import re
+
+    def count_tokens(batches):
+        import pyarrow as pa
+
+        ws = re.compile(r"\s+")
+        alpha = re.compile(r"[a-z]+")
+        long_run = re.compile(r"[a-z]{4,}")
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            n_ws, n_a, n_l = [], [], []
+            for t in texts:
+                low = (t or "").lower()
+                n_ws.append(len(ws.sub(" ", low).strip().split(" ")))
+                n_a.append(len(alpha.findall(low)))
+                n_l.append(len(long_run.findall(low)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_ws, type=pa.int32()),
+                    pa.array(n_a, type=pa.int32()),
+                    pa.array(n_l, type=pa.int32()),
+                ],
+                ["doc_id", "n_ws_tokens", "n_alpha_runs", "n_long_runs"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        count_tokens,
+        "doc_id long, n_ws_tokens int, n_alpha_runs int, n_long_runs int",
+    )
+
+
+QUERIES["llm_token_count_arrow"] = q_token_count_arrow
+ORACLE_SQL["llm_token_count_arrow"] = SQL_TOKEN_COUNT

@@ -176,3 +176,42 @@ ORDER BY id
 
 QUERIES["src_python_datasource"] = q_python_datasource
 ORACLE_SQL["src_python_datasource"] = SQL_PYTHON_DATASOURCE
+
+
+def q_python_datasource_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same custom source with an id-range predicate: the reader's
+    pushFilters absorbs both bounds, partitions() plans ONLY the
+    overlapping shards, and read() clamps the generated range — scan
+    work is proportional to the selected range, not the table
+    (tests/test_sources_and_new_ops.py asserts the pruned partition
+    count; correctness never depends on the pushdown because Spark
+    re-applies any filter the reader declines)."""
+    from ..session import ship_package
+    from ..sources.pysource import FORMAT_NAME, register
+
+    ship_package(spark)
+    register(spark)
+    # planning-time conf gating Python-source pushFilters; runtime-settable
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format(FORMAT_NAME)
+        .option("n_rows", PYSRC_ROWS)
+        .option("n_parts", PYSRC_PARTS)
+        .load()
+        .filter((F.col("id") >= 37) & (F.col("id") < 141))
+        .orderBy("id")
+    )
+
+
+SQL_PYTHON_DATASOURCE_PRUNED = f"""
+SELECT i AS id,
+       CAST(i // {_PYSRC_RPP} AS INT) AS shard,
+       'doc-' || i::VARCHAR AS payload,
+       ('0x' || substr(md5('doc-' || i::VARCHAR), 1, 15))::BIGINT AS h
+FROM range(0, {PYSRC_ROWS}) t(i)
+WHERE i >= 37 AND i < 141
+ORDER BY id
+"""
+
+QUERIES["src_python_datasource_pruned"] = q_python_datasource_pruned
+ORACLE_SQL["src_python_datasource_pruned"] = SQL_PYTHON_DATASOURCE_PRUNED

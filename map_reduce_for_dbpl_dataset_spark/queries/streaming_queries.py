@@ -256,3 +256,28 @@ ORACLE_SQL = {
     "llm_multimodal_features": SQL_MULTIMODAL_FEATURES,
     "llm_multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }
+
+
+def q_stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 arbitrary-state API,
+    streaming/transform_state.py) run to completion: per-event-type
+    running stats. Single-file source -> one micro-batch -> one
+    updated row per key, so the drained stream equals the batch
+    aggregate and the oracle is plain SQL."""
+    from ..streaming.transform_state import running_type_stats
+
+    events = stream_events(spark, sf_dir)
+    out = run_stream_to_table(running_type_stats(events), spark, output_mode="update")
+    return out.orderBy("event_type")
+
+
+SQL_STREAM_TRANSFORM_WITH_STATE = """
+SELECT event_type, count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+from ..streaming.transform_state import transform_with_state_available
+
+if transform_with_state_available():
+    QUERIES["stream_transform_with_state"] = q_stream_transform_with_state
+    ORACLE_SQL["stream_transform_with_state"] = SQL_STREAM_TRANSFORM_WITH_STATE

@@ -56,20 +56,66 @@ class SyntheticDocsReader(DataSourceReader):
         self.n_rows = n_rows
         self.n_parts = n_parts
         self.rpp = -(-n_rows // n_parts)  # ceil
+        self.lo_bound = 0  # inclusive id lower bound after pushdown
+        self.hi_bound = n_rows  # exclusive id upper bound after pushdown
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark >= 4.1): absorb id-range predicates
+        into the scan bounds and PRUNE whole partitions in
+        partitions() — the Python-source equivalent of parquet
+        row-group/partition pruning. Unsupported filters are returned
+        to Spark, which re-applies them above the scan (so
+        correctness never depends on this method)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("id",):
+                if isinstance(f, GreaterThan):
+                    self.lo_bound = max(self.lo_bound, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi_bound = min(self.hi_bound, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi_bound = min(self.hi_bound, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo_bound = max(self.lo_bound, f.value)
+                    self.hi_bound = min(self.hi_bound, f.value + 1)
+                    continue
+            yield f
 
     def partitions(self) -> list[InputPartition]:
         # one InputPartition per shard: the scheduler runs these as
-        # independent tasks, exactly like file splits.
-        return [InputPartition(i) for i in range(self.n_parts)]
+        # independent tasks, exactly like file splits. Shards entirely
+        # outside the pushed id range are never planned.
+        return [
+            InputPartition(i)
+            for i in range(self.n_parts)
+            if i * self.rpp < self.hi_bound and (i + 1) * self.rpp > self.lo_bound
+        ]
 
     def read(self, partition: InputPartition):
         shard = partition.value
-        lo = shard * self.rpp
-        hi = min(self.n_rows, (shard + 1) * self.rpp)
+        lo = max(shard * self.rpp, self.lo_bound)
+        hi = min(self.n_rows, (shard + 1) * self.rpp, self.hi_bound)
         for i in range(lo, hi):
             payload = f"doc-{i}"
             yield (i, shard, payload, _hash60(payload))
 
 
 def register(spark) -> None:
+    # a reader implementing pushFilters refuses to plan unless the
+    # Python-source pushdown conf is on (runtime-settable)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)

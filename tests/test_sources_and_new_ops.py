@@ -157,3 +157,35 @@ def test_prefix_jaccard_equals_naive(spark):
                 ngram_jaccard_pairs_prefix(df, "doc_id", "shingles", t).collect()}
         assert naive == pref
         assert naive  # non-vacuous
+
+
+def test_pysource_pushdown_prunes_partitions():
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, StringContains
+
+    from map_reduce_for_dbpl_dataset_spark.sources.pysource import SyntheticDocsReader
+
+    r = SyntheticDocsReader(n_rows=300, n_parts=8)  # rpp = 38
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("id",), 37),
+                LessThan(("id",), 141),
+                StringContains(("payload",), "doc"),  # unsupported -> returned
+            ]
+        )
+    )
+    assert len(leftover) == 1 and isinstance(leftover[0], StringContains)
+    parts = r.partitions()
+    # ids 37..140 live in shards 0..3 of 8 (rpp=38): half the scan pruned
+    assert [p.value for p in parts] == [0, 1, 2, 3]
+    got = [row[0] for p in parts for row in r.read(p)]
+    assert got == list(range(37, 141))
+
+
+def test_transform_with_state_gated_consistently(spark):
+    from map_reduce_for_dbpl_dataset_spark.queries.streaming_queries import QUERIES
+    from map_reduce_for_dbpl_dataset_spark.streaming.transform_state import (
+        transform_with_state_available,
+    )
+
+    assert ("stream_transform_with_state" in QUERIES) == transform_with_state_available()
