@@ -1,0 +1,95 @@
+"""Fixed-iteration k-means (Lloyd's) over quantized integer vectors.
+
+The iterative-ML member of the engine's algorithm family (next to
+connected components and PageRank in operators/graph.py /
+queries/dblp.py) — and the trainer for the IVF coarse codebook
+(operators/similarity.py ivf_topk consumes exactly this kind of
+centroid table). No reference counterpart (the reference's closest
+ancestry is its iterative-MapReduce job chain, SURVEY.md §3).
+
+Determinism contract: vectors are integer-quantized, distances are
+exact integer squared-L2, centroid updates are integer truncated
+division (Spark `div` ≡ DuckDB `//`, both truncate toward zero), and
+argmin ties break on the lower centroid id — every iteration is
+bit-identical to the unrolled-CTE oracle regardless of partitioning.
+
+Scale: per iteration —
+- assignment: broadcast join of the K-row centroid table against the
+  corpus (narrow, no corpus shuffle), argmin via min_by;
+- update: posexplode to (cluster, dim, val) then ONE partial-agg
+  groupBy over K*dim cells and a K-row rebuild. The classic
+  MapReduce k-means, K*dim tiny vs corpus.
+Fixed small iteration counts keep lineage shallow (no checkpoint);
+unbounded fixpoints use the localCheckpoint pattern in graph.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import quantize
+
+
+def dist2_q(a, b):
+    """Exact integer squared L2 distance of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (exact integer distance, ties to
+    the lower cluster id)."""
+    scored = q.join(F.broadcast(cents)).withColumn("d2", dist2_q(F.col("q"), F.col("c")))
+    w = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("cluster"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "q", "cluster", "d2")
+    )
+
+
+def kmeans_fixed(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_ids: Sequence[int],
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Run `iters` Lloyd iterations from centroids seeded at
+    `init_ids`; returns the final per-cluster summary
+    (cluster, n_members, sse, min_member) — all exact integers."""
+    q = corpus.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
+    )
+    cents = q.filter(F.col("vid").isin(list(init_ids))).select(
+        F.col("vid").alias("cluster"), F.col("q").alias("c")
+    )
+    for _ in range(iters):
+        assigned = _assign(q, cents)
+        ex = assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
+        per_dim = ex.groupBy("cluster", "dim").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cents = (
+            per_dim.withColumn("cv", F.expr("s div n"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda st: st.cv,
+                ).alias("c")
+            )
+        )
+    final = _assign(q, cents)
+    return final.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("sse"),
+        F.min("vid").alias("min_member"),
+    )

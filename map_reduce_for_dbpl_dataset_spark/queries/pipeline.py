@@ -447,3 +447,62 @@ ORACLE_SQL = {
     "llm_repetition": SQL_REPETITION,
     "llm_ann_ivf": _ivf_sql(),
 }
+
+
+# --- k-means (iterative, trains the IVF codebook) ----------------------------
+KMEANS_INIT_IDS = [30, 31, 32, 33]
+KMEANS_ITERS = 2
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embeddings
+    (operators/kmeans.py): 2 exact integer iterations from fixed
+    seeds, reporting per-cluster size, integer SSE and min member —
+    the trainer for the IVF coarse codebook used by llm_ann_ivf."""
+    from ..operators.kmeans import kmeans_fixed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed(
+        e, "vec_id", "embedding", KMEANS_INIT_IDS, iters=KMEANS_ITERS
+    ).orderBy("cluster")
+
+
+def _kmeans_sql() -> str:
+    ids = ", ".join(str(i) for i in KMEANS_INIT_IDS)
+    d2 = (
+        f"CAST(list_sum([(a.q[i]-c.c[i])*(a.q[i]-c.c[i]) "
+        f"for i in range(1, {EMB_DIM + 1})]) AS BIGINT)"
+    )
+    assign = """
+a{t} AS (
+  SELECT vid, q, cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (SELECT a.vid, a.q, c.cluster, {d2} AS d2 FROM q0 a CROSS JOIN c{p} c))
+  WHERE rn = 1
+)"""
+    update = """
+pd{t} AS (
+  SELECT cluster, u.i AS dim, sum(q[u.i]) AS s, count(*) AS n
+  FROM a{t} CROSS JOIN LATERAL (SELECT unnest(range(1, {dplus})) AS i) u
+  GROUP BY cluster, u.i
+),
+c{t} AS (SELECT cluster, list(s // n ORDER BY dim) AS c FROM pd{t} GROUP BY cluster)"""
+    parts = []
+    for t in range(1, KMEANS_ITERS + 1):
+        parts.append(assign.format(t=t, p=t - 1, d2=d2))
+        parts.append(update.format(t=t, dplus=EMB_DIM + 1))
+    final = assign.format(t=KMEANS_ITERS + 1, p=KMEANS_ITERS, d2=d2)
+    return f"""
+WITH q0 AS (
+  SELECT vec_id AS vid,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+c0 AS (SELECT vid AS cluster, q AS c FROM q0 WHERE vid IN ({ids})),{",".join(parts)},{final}
+SELECT cluster, count(*) AS n_members, sum(d2) AS sse, min(vid) AS min_member
+FROM a{KMEANS_ITERS + 1} GROUP BY cluster ORDER BY cluster
+"""
+
+
+QUERIES["llm_kmeans"] = q_kmeans
+ORACLE_SQL["llm_kmeans"] = _kmeans_sql()

@@ -1719,3 +1719,98 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["tpch_approx_distinct"] = q_approx_distinct
 ORACLE_SQL["tpch_approx_distinct"] = SQL_APPROX_DISTINCT
+
+
+# --- VARIANT semi-structured path (Spark 4) ----------------------------------
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): a JSON document built
+    by explicit string concat (so both engines parse the IDENTICAL
+    text), parsed once with parse_json into a VARIANT, then typed
+    variant_get extractions including an array index. VARIANT is the
+    100 TB answer to schema-drifting payloads: parse once at ingest,
+    store the binary-encoded variant column, extract with pushdown-
+    friendly typed paths instead of re-parsing JSON text per query
+    (the get_json_object form in tpch_json_extract re-parses every
+    call)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast(D) * 100).cast("long")
+    doc = F.concat(
+        F.lit('{"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('","cents":'),
+        cents.cast("string"),
+        F.lit(',"items":['),
+        (F.col("o_custkey") % 7).cast("string"),
+        F.lit(","),
+        (F.col("o_custkey") % 11).cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    return o.select(
+        "o_orderkey",
+        F.variant_get(v, "$.status", "string").alias("status_x"),
+        F.variant_get(v, "$.cents", "long").alias("cents_x"),
+        F.variant_get(v, "$.items[1]", "int").alias("item1_x"),
+    )
+
+
+SQL_VARIANT_JSON = """
+WITH j AS (
+  SELECT o_orderkey,
+         '{"status":"' || o_orderstatus || '","cents":'
+           || (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT::VARCHAR
+           || ',"items":[' || (o_custkey % 7)::VARCHAR || ','
+           || (o_custkey % 11)::VARCHAR || ']}' AS doc
+  FROM orders
+)
+SELECT o_orderkey,
+       json_extract_string(doc, '$.status') AS status_x,
+       CAST(json_extract(doc, '$.cents') AS BIGINT) AS cents_x,
+       CAST(json_extract(doc, '$.items[1]') AS INT) AS item1_x
+FROM j
+"""
+
+QUERIES["tpch_variant_json"] = q_variant_json
+ORACLE_SQL["tpch_variant_json"] = SQL_VARIANT_JSON
+
+
+# --- fixed-width histogram ----------------------------------------------------
+HIST_LO = 0.0
+HIST_HI = 600000.0
+HIST_N = 24
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket index by explicit
+    floor arithmetic (identical IEEE double ops in both engines — the
+    builtin width_bucket variants differ in edge rounding between
+    engines, so the portable formula is spelled out), one
+    partial-aggregated groupBy. The profiling primitive for 100 TB
+    data exploration: single pass, constant output."""
+    o = _t(spark, sf_dir, "orders")
+    w = (HIST_HI - HIST_LO) / HIST_N
+    b = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - HIST_LO) / w), F.lit(0)),
+        F.lit(HIST_N - 1),
+    ).cast("int")
+    return (
+        o.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("lo_edge", (F.lit(HIST_LO) + F.col("bucket") * F.lit(w)))
+        .orderBy("bucket")
+    )
+
+
+SQL_HISTOGRAM = f"""
+WITH b AS (
+  SELECT CAST(least(greatest(floor((o_totalprice - {HIST_LO}) / (({HIST_HI} - {HIST_LO}) / {HIST_N})), 0), {HIST_N - 1}) AS INT) AS bucket
+  FROM orders
+)
+SELECT bucket, count(*) AS n_orders,
+       {HIST_LO} + bucket * (({HIST_HI} - {HIST_LO}) / {HIST_N}) AS lo_edge
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+QUERIES["tpch_histogram"] = q_histogram
+ORACLE_SQL["tpch_histogram"] = SQL_HISTOGRAM

@@ -127,3 +127,13 @@ def test_sequence_pack_matches_python_rescan(spark, sf_dir):
         k: (len(v), sum(t for _, t in v), v[0][0], v[-1][0]) for k, v in expected.items()
     }
     assert got == exp
+
+
+def test_kmeans_partitions_whole_corpus(spark, sf_dir):
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import q_kmeans
+
+    rows = q_kmeans(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows) == n_vecs  # every vector assigned once
+    assert all(r.sse >= 0 for r in rows)
+    assert len({r.cluster for r in rows}) == len(rows)
