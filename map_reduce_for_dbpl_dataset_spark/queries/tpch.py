@@ -1814,3 +1814,40 @@ FROM b GROUP BY bucket ORDER BY bucket
 
 QUERIES["tpch_histogram"] = q_histogram
 ORACLE_SQL["tpch_histogram"] = SQL_HISTOGRAM
+
+
+# --- correlated NOT EXISTS (decorrelation to anti-join) -----------------------
+def q_subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS through the SQL front-end: customers with
+    no order on/after 2001-01-01. Catalyst decorrelates the subquery
+    into a left-anti hash join — no per-row re-execution (the
+    classical correlated-subquery trap); the date predicate is pushed
+    into the orders scan before the join. Complements tpch_subquery_in
+    (IN) and tpch_subquery_correlated (correlated scalar)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_ne_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ne_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM _ne_customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM _ne_orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= DATE '2001-01-01'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+SQL_SUBQUERY_NOT_EXISTS = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '2001-01-01')
+ORDER BY c_custkey
+"""
+
+QUERIES["tpch_subquery_not_exists"] = q_subquery_not_exists
+ORACLE_SQL["tpch_subquery_not_exists"] = SQL_SUBQUERY_NOT_EXISTS
