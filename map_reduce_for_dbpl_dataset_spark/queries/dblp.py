@@ -229,7 +229,7 @@ ex AS (
   SELECT unnest(aus) AS author, len(aus) AS w
   FROM pubs WHERE len(aus) > 0
 )
-SELECT author, sum(w) AS coauthor_volume
+SELECT author, sum(w)::BIGINT AS coauthor_volume
 FROM ex WHERE author <> ''
 GROUP BY author
 ORDER BY coauthor_volume DESC, author ASC
@@ -338,7 +338,7 @@ ex AS (
   SELECT unnest(aus) AS author, len(aus) AS w
   FROM pubs WHERE len(aus) > 0
 )
-SELECT author, sum(w) AS coauthor_volume
+SELECT author, sum(w)::BIGINT AS coauthor_volume
 FROM ex WHERE author <> ''
 GROUP BY author
 ORDER BY coauthor_volume DESC, author ASC
@@ -382,7 +382,7 @@ ex AS (
 ),
 per_author AS (
   SELECT author,
-         sum(CASE WHEN n_authors = 1 THEN 1 ELSE 0 END) AS n_solo,
+         sum(CASE WHEN n_authors = 1 THEN 1 ELSE 0 END)::BIGINT AS n_solo,
          max(CASE WHEN n_authors > 1 THEN 1 ELSE 0 END) AS has_co
   FROM ex WHERE author <> '' GROUP BY author
 )
@@ -402,19 +402,48 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reads the parquet original with the same absent-field
     normalization (empty string -> NULL), so the hash match proves the
     XML path reproduces the table exactly.
+
+    Output contract: array columns are serialized with chr(31) and the
+    mdate date is rendered ISO on BOTH sides — the driver canonicalizes
+    through pandas ``sort_values``, which crashes on list cells and
+    renders date/datetime dtypes differently per engine. The
+    array-returning form stays internal (sources/xml.py).
     """
     from ..sources.xml import publications_from_xml
 
-    return publications_from_xml(spark)
+    # Spark concat_ws renders an empty array as '' while DuckDB
+    # array_to_string renders it NULL — nullif on both sides unifies.
+    def ser(c: str) -> F.Column:
+        return F.nullif(F.concat_ws("\x1f", c), F.lit("")).alias(c)
+
+    return publications_from_xml(spark).select(
+        "key",
+        "kind",
+        "title",
+        ser("authors"),
+        ser("editors"),
+        "year",
+        "journal",
+        "booktitle",
+        "publisher",
+        "school",
+        "pages",
+        ser("ee"),
+        "crossref",
+        F.col("mdate").cast("string").alias("mdate"),
+    )
 
 
 XML_INGEST_SQL = f"""
 SELECT key, kind, nullif(title, '') AS title,
-       coalesce(authors, []) AS authors, coalesce(editors, []) AS editors,
+       nullif(array_to_string(coalesce(authors, []), chr(31)), '') AS authors,
+       nullif(array_to_string(coalesce(editors, []), chr(31)), '') AS editors,
        year, nullif(journal, '') AS journal, nullif(booktitle, '') AS booktitle,
        nullif(publisher, '') AS publisher, nullif(school, '') AS school,
-       nullif(pages, '') AS pages, coalesce(ee, []) AS ee,
-       nullif(crossref, '') AS crossref, mdate
+       nullif(pages, '') AS pages,
+       nullif(array_to_string(coalesce(ee, []), chr(31)), '') AS ee,
+       nullif(crossref, '') AS crossref,
+       strftime(mdate, '%Y-%m-%d') AS mdate
 FROM read_parquet('{PUBLICATIONS_PATH}')
 """
 
@@ -590,7 +619,7 @@ bi AS (
 deg AS (SELECT src, count(*) AS deg FROM bi GROUP BY src),
 b AS (SELECT {PR_SCALE}::BIGINT // count(*) AS base FROM deg),
 r0 AS (SELECT src AS node, (SELECT base FROM b) AS rank FROM deg),{iters}
-SELECT node AS author, rank AS pr_scaled FROM r{PR_ITERS} ORDER BY author
+SELECT node AS author, rank::BIGINT AS pr_scaled FROM r{PR_ITERS} ORDER BY author
 """
 
 

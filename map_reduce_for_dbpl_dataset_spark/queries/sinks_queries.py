@@ -33,17 +33,21 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = sink_dir("csv", sf_dir)
     write_csv(agg, path, sep="|")
-    return read_csv(
+    back = read_csv(
         spark,
         path,
         "o_orderstatus string, o_orderpriority string, n_orders long, total_price decimal(28,2)",
         sep="|",
     )
+    # decimal survives the text roundtrip exactly; the OUTPUT casts to
+    # double because the driver canonicalizes through pandas, where
+    # Spark Decimal('4319.80') and DuckDB float64 4319.8 render apart.
+    return back.withColumn("total_price", F.col("total_price").cast("double"))
 
 
 SQL_SINK_CSV_ROUNDTRIP = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders GROUP BY o_orderstatus, o_orderpriority
 """
 
@@ -64,16 +68,16 @@ def q_sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast(D)).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(D)).alias("sum_price"),
+            F.sum(F.col("l_quantity").cast(D)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(D)).cast("double").alias("sum_price"),
         )
     )
 
 
 SQL_SINK_PARTITIONED_PARQUET = """
 SELECT l_linestatus, count(*) AS n_items,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem WHERE l_returnflag = 'R'
 GROUP BY l_linestatus
 """
@@ -113,12 +117,14 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = sink_dir("orc", sf_dir)
     agg.write.mode("overwrite").orc(path)
-    return spark.read.orc(path)
+    return spark.read.orc(path).withColumn(
+        "retail_sum", F.col("retail_sum").cast("double")
+    )
 
 
 SQL_SINK_ORC_ROUNDTRIP = """
 SELECT p_brand, count(*) AS n_parts,
-       sum(CAST(p_retailprice AS DECIMAL(18,2))) AS retail_sum
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS retail_sum
 FROM part GROUP BY p_brand
 """
 

@@ -540,16 +540,28 @@ FROM orders
 
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking analytics: quartile, percent_rank, cume_dist over
-    customer balances (deterministic tie-break on custkey)."""
-    from pyspark.sql import Window
+    customer balances (deterministic tie-break on custkey).
 
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
+    NOT ``Window.orderBy`` with no partition key (that plans a
+    single-partition WindowExec — every row through ONE task): the
+    two-pass global rank in operators/global_rank.py range-partitions
+    on the order keys, broadcasts per-partition offsets, and derives
+    all three analytics as pure expressions over (row_number, n). The
+    oracle keeps the canonical window-function SQL, so the hash match
+    proves the decomposition."""
+    from ..operators.global_rank import global_row_number, ntile_from_rn
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked, n = global_row_number(
+        c, [F.desc("c_acctbal"), F.asc("c_custkey")], out_col="_rn"
+    )
+    rn = F.col("_rn")
+    pct = F.lit(0.0) if n <= 1 else (rn - 1) / F.lit(float(n - 1))
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rn(rn, n, 4).alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(rn / F.lit(float(n)), 6).alias("cume"),
     )
 
 
@@ -654,9 +666,13 @@ def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(d).alias("qtr"),
         F.month(d).alias("mon"),
         (F.dayofweek(d) - 1).alias("dow"),  # normalize: 0=Sunday in both engines
-        F.trunc(d, "month").alias("month_start"),
-        F.date_add(d, 30).alias("due_date"),
-        F.last_day(d).alias("eom"),
+        # date outputs rendered ISO: Spark DATE -> pandas datetime.date
+        # ('1995-01-31') but DuckDB DATE -> datetime64 ('1995-01-31
+        # 00:00:00'), so raw dates can never hash-match under the
+        # driver's pandas canonicalization.
+        F.trunc(d, "month").cast("string").alias("month_start"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.last_day(d).cast("string").alias("eom"),
     )
 
 
@@ -666,9 +682,9 @@ SELECT o_orderkey,
        quarter(CAST(o_orderdate AS DATE)) AS qtr,
        month(CAST(o_orderdate AS DATE)) AS mon,
        dayofweek(CAST(o_orderdate AS DATE)) AS dow,
-       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-       CAST(o_orderdate AS DATE) + 30 AS due_date,
-       last_day(CAST(o_orderdate AS DATE)) AS eom
+       strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_date,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom
 FROM orders
 """
 
@@ -747,7 +763,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_EXTRACT = """
 SELECT event_type, count(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -755,16 +771,19 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + predicates: per-user sorted distinct event
-    types, arity, membership test."""
+    types, arity, membership test. The array itself is serialized with
+    '|' in the output — the driver's pandas canonicalization cannot
+    sort list cells — while size/contains still exercise the array
+    ops on the unserialized column."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("types"))
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types_arr"))
         .select(
             "user_id",
-            "types",
-            F.size("types").alias("n_types"),
-            F.array_contains("types", "purchase").alias("has_purchase"),
+            F.array_join("types_arr", "|").alias("types"),
+            F.size("types_arr").alias("n_types"),
+            F.array_contains("types_arr", "purchase").alias("has_purchase"),
         )
         .orderBy("user_id")
     )
@@ -772,7 +791,7 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ARRAY_OPS = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
        len(list(DISTINCT event_type)) AS n_types,
        list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
 FROM events GROUP BY user_id ORDER BY user_id
@@ -1085,7 +1104,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_sampled"),
-            F.sum(F.col("o_totalprice").cast(D)).alias("sampled_price"),
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("sampled_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -1093,7 +1112,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HASH_SAMPLE = """
 SELECT o_orderstatus, count(*) AS n_sampled,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sampled_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_price
 FROM orders
 WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 100 < 5
 GROUP BY o_orderstatus ORDER BY o_orderstatus
@@ -1137,13 +1156,18 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=F.col("l_orderkey"),
         n_salts=16,
     )
-    return out.orderBy("l_returnflag")
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "n_rows",
+    ).orderBy("l_returnflag")
 
 
 SQL_SALTED_AGG = """
 SELECT l_returnflag,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -1237,14 +1261,17 @@ def q_events_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day = (
         hour.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
-        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sum_value"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
     )
     return day.orderBy("day", "event_type")
 
 
 SQL_EVENTS_ROLLUP_HIERARCHY = """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY day, event_type
 """
 

