@@ -18,6 +18,13 @@ targeted edge-case coverage for each reference query (SURVEY.md §2.1):
 
 Seed fixed at 42; regenerating produces byte-identical parquet.
 Run: python fixtures/make_publications.py
+
+Full-DTD surface: beyond the 14 queried columns, every remaining
+``%field;`` from dblp.dtd:36 (address, volume, number, month, url,
+cdrom, cite, note, isbn, series, chapter, publnr) is carried too —
+filled in a post-pass as pure functions of (row id, kind), NEVER from
+the shared rng, so adding fields cannot perturb the order-sensitive
+draws behind the Q1 rank-10 tie / Q2 streak constructions.
 """
 
 from __future__ import annotations
@@ -70,6 +77,47 @@ def _base_row(rng: random.Random, i: int) -> dict:
         "crossref": "",
         "mdate": _mdate(rng),
     }
+
+
+MONTHS = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
+
+
+def _enrich_full_dtd_fields(rows: list[dict]) -> None:
+    """Fill the non-queried dblp.dtd fields deterministically from
+    (row index, kind) only — absent = '' / [] (the fixture-wide
+    convention), sparse like real DBLP. No rng: see module docstring."""
+    for rid, row in enumerate(rows):
+        kind = row["kind"]
+        is_vol_kind = kind in ("article", "incollection")
+        row["address"] = (
+            f"City {rid % 8}" if kind in ("proceedings", "book") and rid % 2 == 0 else ""
+        )
+        row["volume"] = str(1 + rid % 60) if is_vol_kind and rid % 2 == 0 else ""
+        row["number"] = str(1 + rid % 12) if kind == "article" and rid % 3 == 0 else ""
+        row["month"] = MONTHS[rid % 12] if rid % 4 == 0 else ""
+        row["url"] = [f"db/{kind}/v{rid % 60}/{row['key'].rsplit('/', 1)[-1]}.html"] if rid % 5 == 0 else []
+        row["cdrom"] = f"CDROM/ix/{rid}" if rid % 53 == 0 else ""
+        row["cite"] = (
+            [f"rec/x/{(rid * 7 + k) % 4000:06d}" for k in range(1 + rid % 3)]
+            if rid % 29 == 0
+            else []
+        )
+        row["note"] = f"Curation note {rid}" if rid % 37 == 0 else ""
+        row["isbn"] = (
+            f"978-{rid % 10}-{1000 + rid % 9000:04d}-{rid % 100:02d}-{rid % 10}"
+            if kind in ("book", "proceedings")
+            else ""
+        )
+        row["series"] = (
+            f"Series Vol. {rid % 500}"
+            if kind in ("proceedings", "incollection") and rid % 6 == 0
+            else ""
+        )
+        row["chapter"] = str(1 + rid % 20) if kind == "incollection" else ""
+        row["publnr"] = f"p{rid}" if rid % 211 == 0 else ""
 
 
 def main() -> None:
@@ -195,6 +243,8 @@ def main() -> None:
             add(kind=kind, publisher=rng.choice(PUBLISHERS), authors=authors,
                 editors=[], year=year)
 
+    _enrich_full_dtd_fields(rows)
+
     schema = pa.schema(
         [
             pa.field("key", pa.string(), nullable=False),
@@ -211,6 +261,18 @@ def main() -> None:
             pa.field("ee", pa.list_(pa.string())),
             pa.field("crossref", pa.string()),
             pa.field("mdate", pa.date32()),
+            pa.field("address", pa.string()),
+            pa.field("volume", pa.string()),
+            pa.field("number", pa.string()),
+            pa.field("month", pa.string()),
+            pa.field("url", pa.list_(pa.string())),
+            pa.field("cdrom", pa.string()),
+            pa.field("cite", pa.list_(pa.string())),
+            pa.field("note", pa.string()),
+            pa.field("isbn", pa.string()),
+            pa.field("series", pa.string()),
+            pa.field("chapter", pa.string()),
+            pa.field("publnr", pa.string()),
         ]
     )
     table = pa.Table.from_pylist(rows, schema=schema)

@@ -21,18 +21,31 @@ import pyarrow.parquet as pq
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+# dblp.dtd:36 %field; order (author..publnr), tag -> parquet column
 FIELD_ORDER = (
     ("author", "authors"),
     ("editor", "editors"),
     ("title", "title"),
-    ("year", "year"),
-    ("journal", "journal"),
     ("booktitle", "booktitle"),
-    ("publisher", "publisher"),
-    ("school", "school"),
     ("pages", "pages"),
+    ("year", "year"),
+    ("address", "address"),
+    ("journal", "journal"),
+    ("volume", "volume"),
+    ("number", "number"),
+    ("month", "month"),
+    ("url", "url"),
     ("ee", "ee"),
+    ("cdrom", "cdrom"),
+    ("cite", "cite"),
+    ("publisher", "publisher"),
+    ("note", "note"),
     ("crossref", "crossref"),
+    ("isbn", "isbn"),
+    ("series", "series"),
+    ("school", "school"),
+    ("chapter", "chapter"),
+    ("publnr", "publnr"),
 )
 
 

@@ -4,12 +4,19 @@ connected_components: min-label propagation to fixpoint. Each
 superstep is one join + one min-aggregate; lineage is cut with
 localCheckpoint so the logical plan stays O(1) across iterations, and
 convergence is detected by counting changed labels (an action per
-superstep — unavoidable for any fixpoint loop).
+superstep — unavoidable for any fixpoint loop). Supersteps are
+bounded by graph DIAMETER — fine for the short co-author chains in
+fixtures, slow on 100 TB path-shaped graphs.
+
+connected_components_star: the large-star/small-star alternation
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) — same join+min-aggregate per round but O(log n) rounds
+regardless of diameter; this is the 100 TB variant. Both operators
+share the (node, component = min reachable label) contract and are
+property-tested equal (tests/test_graph_star.py).
 
 Used by dblp_coauthor_components (co-author graph) and
-llm_dedup_clusters (near-duplicate transitive closure). At 100 TB
-graph sizes, swap in the large-star/small-star variant: same
-join+aggregate per round, O(log n) supersteps instead of diameter.
+llm_dedup_clusters (near-duplicate transitive closure).
 """
 
 from __future__ import annotations
@@ -66,3 +73,86 @@ def connected_components(
             break
     bi.unpersist()
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). One symmetrize + one min-aggregate + one join."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_mn")).select(
+        "u", F.least("_mn", F.col("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Direct each edge large→small; for each node u connect all its
+    smaller neighbors (and u itself) to their minimum."""
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex: str = "node",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Large-star/small-star connected components — identical contract
+    to ``connected_components`` but O(log n) rounds instead of graph
+    diameter, so a 100 TB chain-shaped graph converges in ~dozens of
+    supersteps, not millions.
+
+    Each round is two (join + min-aggregate) passes over the edge set;
+    lineage is cut per round with localCheckpoint. Convergence =
+    (count, sum of xxhash64(u,v)) checksum of the canonical edge set
+    unchanged — one tiny aggregate per round instead of a set-diff
+    shuffle; hash collisions masking a real change would need two
+    64-bit sums to collide simultaneously, which we accept
+    deterministically (same data → same verdict). At fixpoint the
+    edges form stars rooted at each component's minimum label.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact and overflow-proof under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev:
+            break
+        prev = cur
+    roots = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        vertices.select(F.col(vertex).alias("node"))
+        .distinct()
+        .join(roots, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )

@@ -431,6 +431,18 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ser("ee"),
         "crossref",
         F.col("mdate").cast("string").alias("mdate"),
+        "address",
+        "volume",
+        "number",
+        "month",
+        ser("url"),
+        "cdrom",
+        ser("cite"),
+        "note",
+        "isbn",
+        "series",
+        "chapter",
+        "publnr",
     )
 
 
@@ -443,7 +455,15 @@ SELECT key, kind, nullif(title, '') AS title,
        nullif(pages, '') AS pages,
        nullif(array_to_string(coalesce(ee, []), chr(31)), '') AS ee,
        nullif(crossref, '') AS crossref,
-       strftime(mdate, '%Y-%m-%d') AS mdate
+       strftime(mdate, '%Y-%m-%d') AS mdate,
+       nullif(address, '') AS address, nullif(volume, '') AS volume,
+       nullif(number, '') AS number, nullif(month, '') AS month,
+       nullif(array_to_string(coalesce(url, []), chr(31)), '') AS url,
+       nullif(cdrom, '') AS cdrom,
+       nullif(array_to_string(coalesce(cite, []), chr(31)), '') AS cite,
+       nullif(note, '') AS note, nullif(isbn, '') AS isbn,
+       nullif(series, '') AS series, nullif(chapter, '') AS chapter,
+       nullif(publnr, '') AS publnr
 FROM read_parquet('{PUBLICATIONS_PATH}')
 """
 
@@ -505,6 +525,12 @@ def coauthor_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
+    edges, vertices = _coauthor_graph(spark)
+    labels = connected_components(edges, vertices)
+    return labels.select(F.col("node").alias("author"), "component")
+
+
+def _coauthor_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     ex = (
         _pubs_with_venue(spark)
         .select(F.col("key").alias("pub"), F.explode(F.array_distinct("aus")).alias("a"))
@@ -518,7 +544,22 @@ def coauthor_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     vertices = ex.select(F.col("a").alias("node"))
-    labels = connected_components(edges, vertices)
+    return edges, vertices
+
+
+def coauthor_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via large-star/small-star alternation
+    (operators/graph.py connected_components_star) — the 100 TB
+    variant of dblp_coauthor_components: O(log n) supersteps instead
+    of graph diameter. Shares the min-label variant's recursive-CTE
+    oracle, so the driver hash-checks that both algorithms produce the
+    identical (author, component) labeling; a hypothesis property test
+    (tests/test_graph_star.py) additionally proves equality on random
+    graphs."""
+    from ..operators.graph import connected_components_star
+
+    edges, vertices = _coauthor_graph(spark)
+    labels = connected_components_star(edges, vertices)
     return labels.select(F.col("node").alias("author"), "component")
 
 
@@ -628,6 +669,7 @@ QUERIES = {
     "dblp_pagerank": pagerank,
     "dblp_coauthor_pairs": coauthor_pairs,
     "dblp_coauthor_components": coauthor_components,
+    "dblp_coauthor_components_star": coauthor_components_star,
     "dblp_q1_top_authors_per_venue": q1_top_authors_per_venue,
     "dblp_q2_consecutive_years": q2_consecutive_years,
     "dblp_q2_literal_dupreset": q2_literal_dupreset,
@@ -643,6 +685,7 @@ ORACLE_SQL = {
     "dblp_pagerank": _pagerank_sql(),
     "dblp_coauthor_pairs": COAUTHOR_PAIRS_SQL,
     "dblp_coauthor_components": COAUTHOR_COMPONENTS_SQL,
+    "dblp_coauthor_components_star": COAUTHOR_COMPONENTS_SQL,
     "dblp_q1_top_authors_per_venue": Q1_SQL,
     "dblp_q2_consecutive_years": Q2_SQL,
     "dblp_q2_literal_dupreset": Q2_LITERAL_SQL,

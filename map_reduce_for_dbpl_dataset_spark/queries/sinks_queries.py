@@ -12,7 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
-from ..sources.sinks import read_csv, sink_dir, write_csv, write_partitioned_parquet
+from ..sources.sinks import (
+    read_csv,
+    sink_dir,
+    write_csv,
+    write_ordered_single_text,
+    write_partitioned_parquet,
+)
 
 D = "decimal(18,2)"
 
@@ -142,6 +148,49 @@ ORACLE_SQL = {
     "tpch_sink_json_roundtrip": SQL_SINK_JSON_ROUNDTRIP,
     "tpch_sink_orc_roundtrip": SQL_SINK_ORC_ROUNDTRIP,
 }
+
+
+def q_sink_text_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered single-file text sink roundtrip (the reference's merge
+    flow, dblpXMLparser.scala:65-82): aggregate customers per nation,
+    write ONE '|'-separated text file in (count desc, name asc) order,
+    read it back and attach each line's PHYSICAL position. The oracle
+    computes line numbers with row_number() over the same total order,
+    so the hash match proves the file is byte-ordered — not just that
+    the rows survive. Single-writer by design; small results only."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    path = sink_dir("text_ordered", sf_dir)
+    write_ordered_single_text(
+        agg, path, [F.desc("n_customers"), F.asc("n_name")], sep="|"
+    )
+    back = spark.read.text(path).coalesce(1)
+    parts = F.split("value", "[|]")
+    return back.select(
+        F.monotonically_increasing_id().alias("line_no"),
+        parts.getItem(0).alias("n_name"),
+        parts.getItem(1).cast("long").alias("n_customers"),
+    )
+
+
+SQL_SINK_TEXT_ORDERED = """
+WITH g AS (
+  SELECT n_name, count(*) AS n_customers
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT row_number() OVER (ORDER BY n_customers DESC, n_name ASC) - 1 AS line_no,
+       n_name, n_customers
+FROM g
+"""
+
+QUERIES["tpch_sink_text_ordered"] = q_sink_text_ordered
+ORACLE_SQL["tpch_sink_text_ordered"] = SQL_SINK_TEXT_ORDERED
 
 
 # --- custom Python DataSource (partitioned synthetic source) -----------------

@@ -22,7 +22,8 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def sink_dir(tag: str, *keys: str) -> str:
@@ -40,6 +41,32 @@ def write_csv(df: DataFrame, path: str, sep: str = ",") -> None:
 
 def read_csv(spark: SparkSession, path: str, schema: str, sep: str = ",") -> DataFrame:
     return spark.read.schema(schema).option("sep", sep).csv(path)
+
+
+def write_ordered_single_text(
+    df: DataFrame, path: str, order_by: list[Column], sep: str = ","
+) -> None:
+    """OPT-IN ordered single-file text sink — operational parity with
+    the reference's merge step (dblpXMLparser.scala:65-82 collects
+    futures in submission order into ONE file; HomeworkReport.md's
+    ``fs -cat`` flow expects it).
+
+    Rows are rendered ``col1<sep>col2<sep>...`` and land in ONE part
+    file in exactly ``order_by`` order: the global sort range-
+    partitions, and coalesce(1) concatenates the sorted partitions in
+    index order, so the file is byte-ordered. This is deliberately a
+    single-writer funnel — correct for small operational outputs
+    (reports, top-k exports), never for bulk data; ``write_csv`` is
+    the scale path.
+    """
+    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    (
+        df.orderBy(*order_by)
+        .select(line.alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
 
 
 def write_partitioned_parquet(df: DataFrame, path: str, *partition_cols: str) -> None:

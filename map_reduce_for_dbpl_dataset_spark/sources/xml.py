@@ -27,11 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # Content model per dblp.dtd:32-46: record kind = element name, fields
-# optional and repeatable; key/mdate are attributes.
+# optional and repeatable; key/mdate are attributes. The FULL %field;
+# set (dblp.dtd:36, author..publnr) is carried: author/editor/ee/url/
+# cite as array<string> (commonly repeated in real DBLP), the rest as
+# scalar strings.
 PUB_XML_SCHEMA = (
     "author array<string>, editor array<string>, title string, year int, "
     "journal string, booktitle string, publisher string, school string, "
-    "pages string, ee array<string>, crossref string, _key string, _mdate string"
+    "pages string, ee array<string>, crossref string, "
+    "address string, volume string, number string, month string, "
+    "url array<string>, cdrom string, cite array<string>, note string, "
+    "isbn string, series string, chapter string, publnr string, "
+    "_key string, _mdate string"
 )
 
 PUBLICATIONS_XML_PATH = os.path.join(
@@ -72,4 +79,16 @@ def publications_from_xml(
         F.coalesce("r.ee", empty).alias("ee"),
         F.col("r.crossref").alias("crossref"),
         F.to_date("r._mdate").alias("mdate"),
+        F.col("r.address").alias("address"),
+        F.col("r.volume").alias("volume"),
+        F.col("r.number").alias("number"),
+        F.col("r.month").alias("month"),
+        F.coalesce("r.url", empty).alias("url"),
+        F.col("r.cdrom").alias("cdrom"),
+        F.coalesce("r.cite", empty).alias("cite"),
+        F.col("r.note").alias("note"),
+        F.col("r.isbn").alias("isbn"),
+        F.col("r.series").alias("series"),
+        F.col("r.chapter").alias("chapter"),
+        F.col("r.publnr").alias("publnr"),
     )
