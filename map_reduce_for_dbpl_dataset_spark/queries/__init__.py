@@ -69,10 +69,31 @@ _R1_CHECKED = set(_R1_RED) | {
 
 
 def _priority_order(names: list[str]) -> list[str]:
+    """Reds first (their fixes need confirming rows), then the
+    never-driver-checked names ordered by family risk — streaming,
+    sinks, and the Python DataSource exercise whole execution surfaces
+    (state stores, write paths, Python workers) no green row has ever
+    covered, while the late tpch extensions reuse dtype/plan classes
+    already proven by 40 green tpch rows — then the proven-green 40."""
     red = [n for n in _R1_RED if n in names]
-    never_checked = [n for n in names if n not in _R1_CHECKED]
+    never = [n for n in names if n not in _R1_CHECKED and n not in _R1_RED]
+
+    def family_rank(n: str) -> int:
+        if n.startswith("stream_"):
+            return 0
+        if n.startswith(("tpch_sink_", "src_python_datasource")):
+            return 1
+        if n.startswith("llm_multimodal"):
+            return 2  # unique surface: mapInPandas over binary columns
+        if n in ("llm_token_count", "llm_repetition"):
+            return 4  # pure-expression twins of already-windowed queries
+        if n.startswith("llm_"):
+            return 3
+        return 5  # tpch extensions, dblp variants
+
+    never.sort(key=family_rank)  # stable: registry order within a family
     green = [n for n in names if n in _R1_CHECKED and n not in _R1_RED]
-    return red + never_checked + green
+    return red + never + green
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
