@@ -31,6 +31,10 @@ HEADLINE = [
     "llm_ngram_jaccard",
     "llm_ann_brute_topk",
     "llm_text_stats",
+    # the two iterative / global-rank plans (round-2 verdict: time them
+    # every round so their scale-safe formulations stay honest)
+    "dblp_coauthor_components_star",
+    "tpch_window_ntile",
 ]
 
 

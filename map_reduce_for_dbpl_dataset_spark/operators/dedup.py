@@ -88,18 +88,37 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+
+# Buckets above this size abandon the single-aggregate collect_list
+# pair expansion for a bucket-key self-join: collect_list materializes
+# the whole bucket in ONE aggregate row (2 GiB row limit) and its n²
+# pairs in ONE task — a Zipfian hot bucket at 100 TB becomes a
+# straggler/OOM. The self-join spreads the same n² across tasks and is
+# eligible for AQE skew-split. Small buckets keep the cheaper
+# aggregate form (no join machinery per tiny bucket).
+LSH_HOT_BUCKET = 1024
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, hot_bucket: int = LSH_HOT_BUCKET
+) -> DataFrame:
     """Band the signature (N_BANDS groups of N_PERM/N_BANDS rows) and
     emit distinct id pairs (a < b) sharing any band bucket.
 
-    Bucketing is a groupBy + in-array pair expansion, NOT a self-join:
-    a self-join would evaluate the signature aggregate twice (the two
-    branches project different aliases, so Catalyst can't reuse the
-    exchange), doubling the dominant explode+hash cost. One hash
-    aggregate per bucket, then a narrow combinations expression —
-    the n² blowup on a hot bucket is identical in both formulations
-    (it's inherent to LSH); production caps it with more bands/rows,
-    which shrinks buckets, not with a different join shape."""
+    Two-regime plan keyed on bucket size (a window count over
+    (band, key) — same shuffle as the bucketing itself, so the
+    signature aggregate is computed once and the exchange reused):
+
+    - size <= hot_bucket: groupBy + in-array combinations expression —
+      one hash aggregate, a narrow expression, no join.
+    - size >  hot_bucket: bucket-key self-join with id_a < id_b. The
+      pair count is identical (n² is inherent to LSH) but the work is
+      spread across tasks instead of concentrated in one collect_list
+      row, and AQE skew-split can further divide a Zipfian bucket.
+      Both self-join branches read the one reused (band, key) shuffle.
+    """
+    from pyspark.sql import Window
+
     rows_per_band = N_PERM // N_BANDS
     bands = F.array(
         *[
@@ -115,20 +134,30 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pairs = F.expr(
+    sized = banded.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("n") >= 2)
+
+    small = sized.filter(F.col("n") <= hot_bucket)
+    buckets = small.groupBy("band", "key").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+    pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))"
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
+    small_pairs = (
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .distinct()
     )
+
+    hot = sized.filter(F.col("n") > hot_bucket).select(id_col, "band", "key")
+    hot_pairs = (
+        hot.withColumnRenamed(id_col, "id_a")
+        .join(hot.withColumnRenamed(id_col, "id_b"), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    return small_pairs.unionByName(hot_pairs).distinct()
 
 
 def verify_jaccard(

@@ -54,9 +54,19 @@ def global_row_number(
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
+    # localCheckpoint pins ONE materialization of the range partitioning:
+    # the counts action below and the caller's later window/join pass
+    # would otherwise execute repartitionByRange twice, and the
+    # RangePartitioner's sampling (reseeded per plan instantiation on
+    # the imbalanced-partition resample path) can assign rows to
+    # different partitions across executions — silently wrong global
+    # row numbers under skew. Checkpointed blocks are freed by the
+    # ContextCleaner once the caller's plan is done with them; the
+    # lineage-truncation fault-tolerance tradeoff is worth determinism.
     ranged = (
         df.repartitionByRange(int(parts), *order_by)
         .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("c")).collect()
     sizes = {r[_PID]: r["c"] for r in counts}

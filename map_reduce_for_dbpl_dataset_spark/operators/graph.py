@@ -138,6 +138,7 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev = None
+    converged = False
     for _ in range(max_iters):
         e = _small_star(_large_star(e)).localCheckpoint()
         sig = e.agg(
@@ -147,8 +148,20 @@ def connected_components_star(
         ).collect()[0]
         cur = (sig["n"], sig["h"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # a non-star-shaped edge set would make the final left join
+        # emit multiple (node, component) rows per node with no other
+        # signal — fail loudly instead (the contract is a convergence
+        # GUARANTEE: large/small-star fixpoints in O(log n) rounds, so
+        # hitting this means max_iters is set far too low)
+        raise RuntimeError(
+            f"connected_components_star did not reach the edge-set fixpoint "
+            f"within max_iters={max_iters}; raise max_iters (O(log n) rounds "
+            f"suffice — 50 covers any feasible graph)"
+        )
     roots = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return (
         vertices.select(F.col(vertex).alias("node"))

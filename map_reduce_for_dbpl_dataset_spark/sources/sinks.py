@@ -59,7 +59,12 @@ def write_ordered_single_text(
     (reports, top-k exports), never for bulk data; ``write_csv`` is
     the scale path.
     """
-    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    # concat_ws silently DROPS null inputs, which would shift every
+    # later field left and break positional read-back — coalesce each
+    # cell to '' so null cells keep their field position.
+    line = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    )
     (
         df.orderBy(*order_by)
         .select(line.alias("value"))

@@ -102,26 +102,28 @@ def test_levenshtein_blocking_finds_all_injected_mutants(spark, sf_dir):
 def test_sequence_pack_matches_python_rescan(spark, sf_dir):
     from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
         PACK_BUDGET,
+        PACK_SHARDS,
         q_sequence_pack,
     )
 
     got = {
-        (r.lang, r.pack_id): (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+        (r.lang, r.shard, r.pack_id): (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
         for r in q_sequence_pack(spark, sf_dir).collect()
     }
     import re
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "text").collect()
-    by_lang: dict[str, list] = {}
+    # mirror the query's (lang, shard = doc_id % PACK_SHARDS) stream keys
+    by_stream: dict[tuple, list] = {}
     for r in sorted(docs, key=lambda r: r.doc_id):
         ntok = len(re.sub(r"\s+", " ", r.text.lower()).strip().split(" "))
-        by_lang.setdefault(r.lang, []).append((r.doc_id, ntok))
+        by_stream.setdefault((r.lang, r.doc_id % PACK_SHARDS), []).append((r.doc_id, ntok))
     expected: dict[tuple, list] = {}
-    for lang, seq in by_lang.items():
+    for (lang, shard), seq in by_stream.items():
         off = 0
         for doc_id, ntok in seq:
             pack = off // PACK_BUDGET
-            expected.setdefault((lang, pack), []).append((doc_id, ntok))
+            expected.setdefault((lang, shard, pack), []).append((doc_id, ntok))
             off += ntok
     exp = {
         k: (len(v), sum(t for _, t in v), v[0][0], v[-1][0]) for k, v in expected.items()

@@ -76,6 +76,55 @@ def test_minhash_lsh_finds_near_duplicate(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_lsh_hot_bucket_self_join_matches_small_path(spark):
+    """Adversarial hot bucket: every doc shares every band key. With
+    hot_bucket forced below the bucket size the self-join regime must
+    emit exactly the same C(n,2) pairs as the collect_list regime."""
+    from map_reduce_for_dbpl_dataset_spark.operators.dedup import (
+        N_PERM,
+        lsh_candidate_pairs,
+    )
+
+    n = 60
+    sigs = spark.createDataFrame(
+        [(i, *[7] * N_PERM) for i in range(n)],
+        "doc_id long, " + ", ".join(f"sig_{k} long" for k in range(N_PERM)),
+    )
+    expected = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    hot = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", hot_bucket=8).collect()
+    }
+    small = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", hot_bucket=10_000).collect()
+    }
+    assert hot == expected
+    assert small == expected
+
+
+def test_lsh_mixed_hot_and_small_buckets(spark):
+    """One hot bucket (ids 0..29 identical sigs) + one small bucket
+    (ids 100,101) + a singleton (id 200): the two regimes partition the
+    buckets and their union is exactly the brute-force pair set."""
+    from map_reduce_for_dbpl_dataset_spark.operators.dedup import (
+        N_PERM,
+        lsh_candidate_pairs,
+    )
+
+    rows = [(i, *[7] * N_PERM) for i in range(30)]
+    rows += [(100, *[11] * N_PERM), (101, *[11] * N_PERM), (200, *[13] * N_PERM)]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"sig_{k} long" for k in range(N_PERM))
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id", hot_bucket=8).collect()
+    }
+    expected = {(a, b) for a in range(30) for b in range(a + 1, 30)} | {(100, 101)}
+    assert got == expected
+
+
 def test_ngram_jaccard_exact_values(spark):
     sh = _shingled(spark, [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")])
     out = ngram_jaccard_pairs(sh, "doc_id", "shingles", threshold=0.5).collect()

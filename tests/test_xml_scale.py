@@ -1,0 +1,85 @@
+"""Large single-file XML ingestion — the closest sandbox analog to the
+reference's 2.5 GB / 7.9M-record dblp.xml run (dblpXMLparser.scala:24,29).
+
+Synthesizes a ~100 MB line-record file by repeating the 4,419-record
+fixture with rewritten keys, then ingests it through sources/xml.py
+with maxPartitionBytes forced down so the ONE file splits into many
+input tasks — proving the line-split scan path (spark.read.text +
+from_xml) handles a file far larger than a single task's slice, with
+no whole-file DOM load anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from map_reduce_for_dbpl_dataset_spark.sources.xml import (
+    PUBLICATIONS_XML_PATH,
+    publications_from_xml,
+)
+
+N_REPS = 75  # 75 x 1.3 MB fixture ~= 98 MB, 331,425 records
+
+
+@pytest.mark.slow
+def test_xml_ingest_100mb_single_file_splits(spark, tmp_path_factory):
+    with open(PUBLICATIONS_XML_PATH, encoding="utf-8") as f:
+        base_lines = f.read().splitlines()
+    n_base = len(base_lines)
+
+    big = tmp_path_factory.mktemp("xmlscale") / "dblp_big.xml"
+    key_re = re.compile(r'key="')
+    with open(big, "w", encoding="utf-8") as f:
+        for rep in range(N_REPS):
+            prefix = f'key="rep{rep}/'
+            for ln in base_lines:
+                f.write(key_re.sub(prefix, ln, count=1) + "\n")
+    size = os.path.getsize(big)
+    assert size > 90 * 1024 * 1024  # genuinely ~100 MB, one file
+
+    conf = spark.conf
+    old = conf.get("spark.sql.files.maxPartitionBytes", None)
+    try:
+        # force the single file to split across many input tasks (the
+        # default 128 MB would hand it to one task and prove nothing)
+        conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        df = publications_from_xml(spark, str(big))
+        n_splits = spark.read.text(str(big)).rdd.getNumPartitions()
+        assert n_splits >= 10  # ~98 MB / 8 MB
+
+        # exact record count: every line is one parsed record
+        assert df.count() == n_base * N_REPS
+
+        # keys stay unique and well-formed across repetitions
+        assert df.select("key").distinct().count() == n_base * N_REPS
+
+        # spot hash: per-kind record counts scale exactly N_REPS-fold,
+        # i.e. parsing is split-position-independent (no record was
+        # corrupted by landing on a split boundary)
+        small = {
+            r["kind"]: r["count"]
+            for r in publications_from_xml(spark).groupBy("kind").count().collect()
+        }
+        big_counts = {r["kind"]: r["count"] for r in df.groupBy("kind").count().collect()}
+        assert big_counts == {k: v * N_REPS for k, v in small.items()}
+
+        # spot record: one known key parses identically in every rep
+        probe = (
+            df.filter(df.key.endswith("/rec/x/000144"))
+            .select("kind", "year", "title", "authors")
+            .distinct()
+            .collect()
+        )
+        assert len(probe) == 1  # all 75 copies parsed to the same record
+        assert probe[0]["kind"] == "inproceedings"
+        assert probe[0]["year"] == 2015
+        assert probe[0]["title"] == "Team effort one"
+        assert len(probe[0]["authors"]) == 7
+    finally:
+        if old is None:
+            conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            conf.set("spark.sql.files.maxPartitionBytes", old)
