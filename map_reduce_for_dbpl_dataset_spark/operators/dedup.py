@@ -134,9 +134,17 @@ def lsh_candidate_pairs(
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
-    sized = banded.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
-    ).filter(F.col("n") >= 2)
+    # lazy localCheckpoint: the sized bucket table feeds THREE
+    # consumers (small-regime agg, both hot self-join branches);
+    # without it each consumer re-evaluates the explode+signature
+    # aggregate (AQE stage reuse is not guaranteed across the union's
+    # branches — measured ~1.5x on the full pipeline). Materializes on
+    # first use only; blocks are freed when the RDD is GC'd.
+    sized = (
+        banded.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
+        .filter(F.col("n") >= 2)
+        .localCheckpoint(eager=False)
+    )
 
     small = sized.filter(F.col("n") <= hot_bucket)
     buckets = small.groupBy("band", "key").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
