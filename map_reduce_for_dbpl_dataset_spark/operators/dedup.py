@@ -99,24 +99,17 @@ def minhash_signatures(
 LSH_HOT_BUCKET = 1024
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, hot_bucket: int = LSH_HOT_BUCKET
-) -> DataFrame:
-    """Band the signature (N_BANDS groups of N_PERM/N_BANDS rows) and
-    emit distinct id pairs (a < b) sharing any band bucket.
+def lsh_sized_buckets(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, sig_*) -> (id, band, key, n): band the signature (N_BANDS
+    groups of N_PERM/N_BANDS rows) and attach each bucket's size via a
+    window count over (band, key) — the sizing rides the bucketing
+    shuffle, so the signature aggregate is computed once. Buckets of
+    one are dropped (no pair can come from them).
 
-    Two-regime plan keyed on bucket size (a window count over
-    (band, key) — same shuffle as the bucketing itself, so the
-    signature aggregate is computed once and the exchange reused):
-
-    - size <= hot_bucket: groupBy + in-array combinations expression —
-      one hash aggregate, a narrow expression, no join.
-    - size >  hot_bucket: bucket-key self-join with id_a < id_b. The
-      pair count is identical (n² is inherent to LSH) but the work is
-      spread across tasks instead of concentrated in one collect_list
-      row, and AQE skew-split can further divide a Zipfian bucket.
-      Both self-join branches read the one reused (band, key) shuffle.
-    """
+    Split out from ``lsh_candidate_pairs`` so the plan is auditable
+    pre-checkpoint (tools/plan_audit.py asserts the single-aggregate
+    signature pass and the sizing window on THIS plan; the caller's
+    checkpoint hides it behind a Scan ExistingRDD)."""
     from pyspark.sql import Window
 
     rows_per_band = N_PERM // N_BANDS
@@ -134,17 +127,32 @@ def lsh_candidate_pairs(
     banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
     )
+    return banded.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("band", "key"))
+    ).filter(F.col("n") >= 2)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, hot_bucket: int = LSH_HOT_BUCKET
+) -> DataFrame:
+    """Emit distinct id pairs (a < b) sharing any band bucket.
+
+    Two-regime plan keyed on bucket size (``lsh_sized_buckets``):
+
+    - size <= hot_bucket: groupBy + in-array combinations expression —
+      one hash aggregate, a narrow expression, no join.
+    - size >  hot_bucket: bucket-key self-join with id_a < id_b. The
+      pair count is identical (n² is inherent to LSH) but the work is
+      spread across tasks instead of concentrated in one collect_list
+      row, and AQE skew-split can further divide a Zipfian bucket.
+    """
     # lazy localCheckpoint: the sized bucket table feeds THREE
     # consumers (small-regime agg, both hot self-join branches);
     # without it each consumer re-evaluates the explode+signature
     # aggregate (AQE stage reuse is not guaranteed across the union's
     # branches — measured ~1.5x on the full pipeline). Materializes on
     # first use only; blocks are freed when the RDD is GC'd.
-    sized = (
-        banded.withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("band", "key")))
-        .filter(F.col("n") >= 2)
-        .localCheckpoint(eager=False)
-    )
+    sized = lsh_sized_buckets(signatures, id_col).localCheckpoint(eager=False)
 
     small = sized.filter(F.col("n") <= hot_bucket)
     buckets = small.groupBy("band", "key").agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

@@ -72,14 +72,24 @@ _R1_RED = [
 ]
 
 
+# Queries added in round 3 (no driver row can exist yet) — right after
+# the re-checks so they earn first driver rows this round.
+_NEW_R3 = [
+    "llm_boilerplate_lines",
+    "llm_quality_select",
+    "llm_dedup_incremental",
+]
+
+
 def _priority_order(names: list[str]) -> list[str]:
     """Never-driver-checked 16 first, then the 10 formerly-red rows,
-    then round-2 rows by execution-surface risk — streaming exercises
-    state stores, sinks exercise write paths, the Python DataSource and
-    multimodal queries exercise Python workers over Arrow — none of
-    which any other row covers, while tpch/dblp/llm expression queries
-    share dtype/plan classes with dozens of green rows."""
-    front = [n for n in _NEVER_CHECKED + _R1_RED if n in names]
+    then the round-3 additions (first rows), then round-2 rows by
+    execution-surface risk — streaming exercises state stores, sinks
+    exercise write paths, the Python DataSource and multimodal queries
+    exercise Python workers over Arrow — none of which any other row
+    covers, while tpch/dblp/llm expression queries share dtype/plan
+    classes with dozens of green rows."""
+    front = [n for n in _NEVER_CHECKED + _R1_RED + _NEW_R3 if n in names]
     rest = [n for n in names if n not in front]
 
     def family_rank(n: str) -> int:

@@ -514,3 +514,264 @@ FROM a{KMEANS_ITERS + 1} GROUP BY cluster ORDER BY cluster
 
 QUERIES["llm_kmeans"] = q_kmeans
 ORACLE_SQL["llm_kmeans"] = _kmeans_sql()
+
+
+# --- line-level boilerplate removal (third batch: corpus curation) -----------
+# C4/CCNet-style line-frequency dedup: a "line" shared by >= LINE_MIN_DF
+# documents is boilerplate (headers, footers, navigation chrome) and is
+# stripped from every document. The fixture texts are single-line word
+# soup, so lines are derived deterministically as LINE_TOKENS-token
+# chunks, and one corpus-wide header plus a per-source footer are
+# APPENDED IN THE QUERY (both sides of the oracle see the same
+# augmentation) so the operator provably fires — the same deterministic
+# augmentation pattern as the levenshtein/near-dup fixtures.
+LINE_TOKENS = 8
+LINE_MIN_DF = 3
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate stripping with corpus-wide line
+    document-frequency (the C4 cleanup / CCNet dedup shape):
+
+    1. split each doc into lines (token chunks + injected header/footer),
+    2. posexplode -> (doc_id, pos, line), key lines by hash60 (group and
+       join on a 60-bit key, never on the line text — at 100 TB the
+       shuffle carries 8-byte keys, not strings),
+    3. line df = two-phase count(distinct doc_id) per line key,
+    4. equi-join df back (no broadcast: the line-df table scales with
+       the corpus) and drop lines with df >= LINE_MIN_DF,
+    5. rebuild each doc in position order with a conditional ordered
+       collect; emit counts + hash60 of the cleaned text.
+
+    One explode, two shuffles (df agg, join+re-agg) — no UDF, no
+    collect, no per-line window over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks).cast("double") / F.lit(float(LINE_TOKENS))).cast("int")
+    chunks = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS)),
+    )).otherwise(F.array().cast("array<string>"))
+    lines = F.concat(
+        F.array(F.lit("corpus shared boilerplate header line")),
+        chunks,
+        F.array(F.concat(F.lit("footer of "), F.col("source"))),
+    )
+    exploded = d.select("doc_id", F.posexplode(lines).alias("pos", "line")).withColumn(
+        "lk", hash60(F.col("line"))
+    )
+    line_df = exploded.groupBy("lk").agg(
+        F.count_distinct(F.col("doc_id")).alias("df")
+    )
+    keep = F.col("df") < LINE_MIN_DF
+    rebuilt = (
+        exploded.join(line_df, "lk")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("_cleaned"),
+        )
+    )
+    return rebuilt.select(
+        "doc_id", "n_kept", "n_dropped", hash60(F.col("_cleaned")).alias("cleaned_fp")
+    ).orderBy("doc_id")
+
+
+SQL_BOILERPLATE_LINES = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         list_concat(
+           ['corpus shared boilerplate header line'],
+           list_concat(
+             CASE WHEN len(t) > 0 THEN
+               [array_to_string(t[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ')
+                for i in range(CAST(ceil(len(t)::DOUBLE / {LINE_TOKENS}.0) AS BIGINT))]
+             ELSE [] END,
+             ['footer of ' || source]))
+         AS lines
+  FROM toks
+),
+unnested AS (
+  SELECT doc_id,
+         generate_subscripts(lines, 1) - 1 AS pos,
+         unnest(lines) AS line
+  FROM chunked
+),
+exploded AS (
+  SELECT doc_id, pos, line,
+         CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS lk
+  FROM unnested
+),
+ldf AS (SELECT lk, count(DISTINCT doc_id) AS df FROM exploded GROUP BY lk),
+rebuilt AS (
+  SELECT e.doc_id,
+         sum(CASE WHEN ldf.df < {LINE_MIN_DF} THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         sum(CASE WHEN ldf.df >= {LINE_MIN_DF} THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         coalesce(string_agg(e.line, chr(10) ORDER BY e.pos)
+                  FILTER (WHERE ldf.df < {LINE_MIN_DF}), '') AS _cleaned
+  FROM exploded e JOIN ldf USING (lk)
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_kept, n_dropped,
+       CAST(('0x' || substr(md5(_cleaned), 1, 15)) AS BIGINT) AS cleaned_fp
+FROM rebuilt ORDER BY doc_id
+"""
+
+
+# --- stratified quality selection (per-source curation) ----------------------
+# Keep each source's top-quality docs above its own p80 threshold —
+# the mixture-curation step that follows scoring. The threshold is an
+# exact interpolated percentile per source (portable: Spark
+# `percentile` == DuckDB `quantile_cont`, proven by tpch_percentiles);
+# at 100 TB swap in approx_percentile (t-digest) with a bounds oracle.
+QUALITY_PCT = 0.8
+
+
+def q_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified selection WITHOUT a per-source global
+    sort: aggregate an exact per-source quality threshold (a partial-
+    aggregatable percentile, 20 rows out), broadcast it back, filter.
+    A row_number/ntile formulation would range-sort every source
+    partition; the threshold form is one narrow agg + one broadcast
+    join — the plan that survives a 1000-executor corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (
+            F.floor(
+                (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("quality"),
+    )
+    thr = scored.groupBy("source").agg(
+        (F.floor(F.percentile(F.col("quality"), F.lit(QUALITY_PCT)) * 1e6) / 1e6).alias(
+            "thr"
+        ),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("quality") >= F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.max("thr").alias("thr"),
+            F.max("n_total").alias("n_total"),
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").alias("selected_tokens"),
+            F.min("doc_id").alias("min_selected_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_QUALITY_SELECT = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens,
+         floor(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))::DOUBLE
+               / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))::DOUBLE
+               * 1000000.0) / 1000000.0 AS quality
+  FROM documents
+),
+thr AS (
+  SELECT source,
+         floor(quantile_cont(quality, {QUALITY_PCT}) * 1000000.0) / 1000000.0 AS thr,
+         count(*) AS n_total
+  FROM scored GROUP BY source
+)
+SELECT s.source, max(t.thr) AS thr, max(t.n_total) AS n_total,
+       count(*) AS n_selected, sum(s.n_tokens)::BIGINT AS selected_tokens,
+       min(s.doc_id) AS min_selected_doc
+FROM scored s JOIN thr t USING (source)
+WHERE s.quality >= t.thr
+GROUP BY s.source ORDER BY s.source
+"""
+
+
+# --- incremental dedup vs a prior snapshot -----------------------------------
+# Continuous-refresh hygiene: only documents whose content fingerprint
+# is NEW relative to the already-trained snapshot survive, deduped
+# within the incoming batch itself. Snapshot = even doc_ids (carved
+# from the corpus so the oracle sees the identical split); production
+# feeds a persisted fingerprint table instead.
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every incoming (odd doc_id) document tagged with: whether its
+    fingerprint exists in the snapshot (left semi-ish via left join +
+    flag), and whether it is the canonical (min doc_id) copy within
+    the incoming batch. Survivors = new AND canonical. One shuffle on
+    fp for the window, one join against the snapshot's distinct-fp
+    table; at 100 TB the snapshot side is the persisted fingerprint
+    store keyed identically, so the join is co-partitioned."""
+    from ..functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    snapshot = fp.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    incoming = fp.filter(F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy("fp")
+    return (
+        incoming.join(
+            snapshot.withColumn("_seen", F.lit(1)), "fp", "left"
+        )
+        .withColumn("is_new", F.col("_seen").isNull())
+        .withColumn("batch_keep_id", F.min("doc_id").over(w))
+        .withColumn(
+            "survives",
+            F.col("is_new") & (F.col("doc_id") == F.col("batch_keep_id")),
+        )
+        .select("doc_id", "fp", "is_new", "batch_keep_id", "survives")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH f AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+snap AS (SELECT DISTINCT fp FROM f WHERE doc_id % 2 = 0),
+inc AS (SELECT * FROM f WHERE doc_id % 2 = 1)
+SELECT inc.doc_id, inc.fp,
+       snap.fp IS NULL AS is_new,
+       min(inc.doc_id) OVER (PARTITION BY inc.fp) AS batch_keep_id,
+       (snap.fp IS NULL) AND
+         (inc.doc_id = min(inc.doc_id) OVER (PARTITION BY inc.fp)) AS survives
+FROM inc LEFT JOIN snap USING (fp)
+ORDER BY doc_id
+"""
+
+
+QUERIES["llm_boilerplate_lines"] = q_boilerplate_lines
+ORACLE_SQL["llm_boilerplate_lines"] = SQL_BOILERPLATE_LINES
+QUERIES["llm_quality_select"] = q_quality_select
+ORACLE_SQL["llm_quality_select"] = SQL_QUALITY_SELECT
+QUERIES["llm_dedup_incremental"] = q_dedup_incremental
+ORACLE_SQL["llm_dedup_incremental"] = SQL_DEDUP_INCREMENTAL

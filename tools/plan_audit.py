@@ -41,13 +41,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
     ],
     "llm_dedup_minhash_lsh": [
-        ("no cartesian", "!CartesianProduct"),
-        ("single agg pass for signatures", "partial_min"),
-        # two-regime LSH: bucket sizes come from a window over the same
-        # (band, key) shuffle; hot buckets take a self-join, so no
-        # collect_list row ever holds a Zipfian bucket
-        ("bucket-size window present (hot-bucket regime)", "Window"),
-        ("hot-bucket self-join emitted as equi-join", "!CartesianProduct"),
+        # the signature/banding subtree is audited pre-checkpoint via
+        # the lsh_sized_buckets custom entry below (the candidate
+        # pipeline's lazy localCheckpoint hides it as Scan ExistingRDD)
+        ("no cartesian (incl. hot-bucket self-join)", "!CartesianProduct"),
     ],
     "llm_ann_brute_topk": [
         ("query side broadcast", "BroadcastNestedLoopJoin"),
@@ -90,6 +87,44 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "tpch_merge_upsert": [
         ("merge is a single full-outer join", "FullOuter"),
     ],
+    "llm_boilerplate_lines": [
+        # line-df computed by two-phase distinct count on the 60-bit
+        # line key; the df join must be a key equi-join, not cartesian
+        ("two-phase distinct count on line key", "partial_count(distinct"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "llm_quality_select": [
+        # threshold table (one row per source) broadcast back — the
+        # whole point of the no-per-source-sort formulation
+        ("threshold broadcast join", "BroadcastHashJoin"),
+        ("no single-partition window", "!Exchange SinglePartition"),
+    ],
+}
+
+
+def _lsh_sized_buckets_plan(spark, sf_dir):
+    """Pre-checkpoint LSH bucket table: the subtree hidden behind
+    lsh_candidate_pairs' lazy localCheckpoint in the registry query."""
+    from map_reduce_for_dbpl_dataset_spark.operators.dedup import (
+        lsh_sized_buckets,
+        minhash_signatures,
+    )
+    from map_reduce_for_dbpl_dataset_spark.queries.llm import _docs_shingled
+
+    sigs = minhash_signatures(_docs_shingled(spark, sf_dir), "doc_id", "shingles")
+    return lsh_sized_buckets(sigs, "doc_id")
+
+
+# custom entries: (plan builder, checks) — for plans not reachable as a
+# whole registry query (e.g. subtrees behind a checkpoint boundary)
+CUSTOM_CHECKS: dict = {
+    "lsh_sized_buckets[pre-checkpoint]": (
+        _lsh_sized_buckets_plan,
+        [
+            ("single agg pass for signatures", "partial_min"),
+            ("bucket-size window rides the bucketing shuffle", "Window"),
+        ],
+    ),
 }
 
 
@@ -99,13 +134,13 @@ def audit(sf_dir: str, write: bool) -> int:
 
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
+    all_checks = {name: (qs[name], checks) for name, checks in CHECKS.items() if name in qs}
+    all_checks.update(CUSTOM_CHECKS)
     failures: list[str] = []
     sections: list[str] = []
     rows: list[str] = []
-    for name, checks in CHECKS.items():
-        if name not in qs:
-            continue
-        df = qs[name](spark, sf_dir)
+    for name, (builder, checks) in all_checks.items():
+        df = builder(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
