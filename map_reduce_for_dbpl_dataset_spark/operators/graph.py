@@ -66,7 +66,7 @@ def connected_components(
                     "_chg"
                 ),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # the count below materializes it
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
@@ -140,7 +140,11 @@ def connected_components_star(
     prev = None
     converged = False
     for _ in range(max_iters):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the checksum aggregate right below is the
+        # materializing action, so each round runs ONE job (an eager
+        # checkpoint would run its own job first, doubling the
+        # per-round fixed cost that dominates small/converged graphs)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: exact and overflow-proof under ANSI mode
