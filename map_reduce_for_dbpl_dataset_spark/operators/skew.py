@@ -51,3 +51,36 @@ def salted_sum_count(
         *[F.sum(f"_s_{a}").alias(a) for a in sums],
         F.sum("_n").alias("n_rows"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi-join where one key is Zipfian-hot on the BIG side: salt the
+    big side with a deterministic per-row value and replicate the small
+    side across all n_salts, joining on (key, salt) — the hot key's
+    rows land in n_salts tasks instead of one.
+
+    This is the explicit fallback for the regimes AQE skew-split does
+    NOT cover: a skewed broadcast-ineligible join feeding a same-key
+    aggregate (AQE can split the join, but the downstream shuffle
+    re-concentrates the key), or a build side just over the broadcast
+    threshold. Result is row-identical to a plain equi-join because
+    every (key, salt) pair on the big side meets exactly one replica.
+
+    Cost model: the small side is exploded n_salts-fold BEFORE its
+    shuffle — use only when |small| * n_salts stays far below the big
+    side (the usual case: a dimension vs a fact).
+    """
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        big.withColumn("_salt", (salt % n_salts).cast("int"))
+        .join(replicated, [key, "_salt"])
+        .drop("_salt")
+    )

@@ -78,6 +78,7 @@ _NEW_R3 = [
     "llm_boilerplate_lines",
     "llm_quality_select",
     "llm_dedup_incremental",
+    "tpch_salted_join",
 ]
 
 

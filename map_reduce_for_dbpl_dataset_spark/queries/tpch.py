@@ -1228,9 +1228,50 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (operators/skew.py:salted_join): customer's
+    25-value c_nationkey is the canonical hot join key (at 100 TB each
+    nation funnels ~4% of ALL customers through one task in a plain
+    shuffle join). The big side is salted by c_custkey and the 25-row
+    nation side replicated 16x, so each hot key spreads over 16 tasks;
+    the joined rows then aggregate per nation. Row-identical to the
+    plain join the oracle computes — the salting is invisible in the
+    result, visible in the task distribution."""
+    from ..operators.skew import salted_join
+
+    c = _t(spark, sf_dir, "customer")
+    # shuffle_hash hint: at fixture scale Spark would broadcast the
+    # 400-row replicated side, which has no skew problem and would
+    # demonstrate nothing — the hint pins the shuffled (key, salt)
+    # plan that a just-over-broadcast-threshold side gets at 100 TB
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(c, n, key="c_nationkey", salt=F.col("c_custkey"), n_salts=16)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(D)).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT n.n_name, count(*) AS n_customers,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
 QUERIES.update(
     {
         "tpch_salted_agg": q_salted_agg,
+        "tpch_salted_join": q_salted_join,
         "tpch_bucketed_join": q_bucketed_join,
     }
 )
@@ -1238,6 +1279,7 @@ QUERIES.update(
 ORACLE_SQL.update(
     {
         "tpch_salted_agg": SQL_SALTED_AGG,
+        "tpch_salted_join": SQL_SALTED_JOIN,
         "tpch_bucketed_join": SQL_BUCKETED_JOIN,
     }
 )

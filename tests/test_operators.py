@@ -107,3 +107,29 @@ def test_asof_join_carries_legit_null_payload(spark):
     )
     out = asof_join(left, right, ["k"], "t", "rt", ["payload"], how="inner").collect()
     assert len(out) == 1 and out[0].payload is None
+
+
+def test_salted_join_identical_to_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "row_id long, k int"
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k int, v string")
+    got = salted_join(big, small, key="k", salt=F.col("row_id"), n_salts=7)
+    plain = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    assert "_salt" not in got.columns
+
+
+def test_salted_join_unmatched_keys_drop_like_inner(spark):
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, 0), (2, 9)], "row_id long, k int")
+    small = spark.createDataFrame([(0, "a")], "k int, v string")
+    out = salted_join(big, small, key="k", salt=F.col("row_id"), n_salts=4).collect()
+    assert len(out) == 1 and out[0].k == 0

@@ -93,6 +93,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("two-phase distinct count on line key", "partial_count(distinct"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "tpch_salted_join": [
+        # the whole point: a SHUFFLED join on (key, salt) — a broadcast
+        # here would mean the skew demo demonstrates nothing
+        ("shuffled (key, salt) join", "ShuffledHashJoin"),
+        ("no broadcast of the replicated side", "!BroadcastHashJoin"),
+    ],
     "llm_quality_select": [
         # threshold table (one row per source) broadcast back — the
         # whole point of the no-per-source-sort formulation
