@@ -79,6 +79,16 @@ _NEW_R3 = [
     "llm_quality_select",
     "llm_dedup_incremental",
     "tpch_salted_join",
+    "tpch_dynamic_partition_pruning",
+]
+
+# Queries whose implementations materially changed in round 3 (two-
+# regime LSH pairs; global-rank range-partition pinning) — their r2
+# green rows no longer certify the current code, so they re-enter the
+# window ahead of unchanged re-checks.
+_CHANGED_R3 = [
+    "llm_dedup_minhash_lsh",
+    "tpch_window_ntile",
 ]
 
 
@@ -90,7 +100,9 @@ def _priority_order(names: list[str]) -> list[str]:
     exercise Python workers over Arrow — none of which any other row
     covers, while tpch/dblp/llm expression queries share dtype/plan
     classes with dozens of green rows."""
-    front = [n for n in _NEVER_CHECKED + _R1_RED + _NEW_R3 if n in names]
+    front = [
+        n for n in _NEVER_CHECKED + _R1_RED + _NEW_R3 + _CHANGED_R3 if n in names
+    ]
     rest = [n for n in names if n not in front]
 
     def family_rank(n: str) -> int:

@@ -270,3 +270,68 @@ ORDER BY id
 
 QUERIES["src_python_datasource_pruned"] = q_python_datasource_pruned
 ORACLE_SQL["src_python_datasource_pruned"] = SQL_PYTHON_DATASOURCE_PRUNED
+
+
+# --- dynamic partition pruning (join-driven scan reduction) ------------------
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: orders lands partitioned by
+    o_orderpriority; the probe joins it to a FILTERED dim whose
+    surviving keys are only known at runtime, so Catalyst injects a
+    dynamicpruning subquery into the fact scan's PartitionFilters —
+    at 100 TB the fact reads 2 of 5 directories instead of all of
+    them, without any literal filter on the fact side. The broadcast
+    of the dim is reused as the pruning subquery (no extra job).
+
+    tools/plan_audit.py asserts `dynamicpruning#` appears in the fact
+    scan's PartitionFilters."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = sink_dir("dpp_parquet", sf_dir)
+    write_partitioned_parquet(o, path, "o_orderpriority")
+    fact = spark.read.parquet(path)
+    # canonical DPP shape: a scan-backed dim (priority, enabled) with
+    # the selective filter on the NON-key column. A filter on the join
+    # key itself (or any expression of it) is propagated by constraint
+    # inference to the fact scan as a STATIC partition filter, which
+    # would prune without DPP and demonstrate nothing; `enabled` has no
+    # functional relation to the key in the plan, so the 2-of-5
+    # pruning can come only from the dynamicpruning subquery. (A
+    # LocalRelation VALUES dim doesn't trigger DPP either — the build
+    # side must be a scan.)
+    dim_path = sink_dir("dpp_dim", sf_dir)
+    spark.createDataFrame(
+        [
+            ("1-URGENT", 1),
+            ("2-HIGH", 1),
+            ("3-MEDIUM", 0),
+            ("4-NOT SPECIFIED", 0),
+            ("5-LOW", 0),
+        ],
+        "p string, enabled int",
+    ).write.mode("overwrite").parquet(dim_path)
+    # `enabled = 1` is an int comparison: DPP's likely-selective
+    # heuristic recognizes BinaryComparison/In/Like predicates — a
+    # boolean flag would simplify to a bare attribute, which it skips
+    dim = spark.read.parquet(dim_path).filter(F.col("enabled") == 1).select("p")
+    return (
+        fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["p"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_DYNAMIC_PARTITION_PRUNING = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+QUERIES["tpch_dynamic_partition_pruning"] = q_dynamic_partition_pruning
+ORACLE_SQL["tpch_dynamic_partition_pruning"] = SQL_DYNAMIC_PARTITION_PRUNING

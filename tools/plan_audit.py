@@ -93,6 +93,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("two-phase distinct count on line key", "partial_count(distinct"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "tpch_dynamic_partition_pruning": [
+        # join-driven pruning: the fact scan's PartitionFilters must
+        # carry the runtime subquery, and no static equivalent of the
+        # dim predicate may leak in (that would prune without DPP)
+        ("dynamic pruning subquery on fact scan", "dynamicpruningexpression"),
+    ],
     "tpch_salted_join": [
         # the whole point: a SHUFFLED join on (key, salt) — a broadcast
         # here would mean the skew demo demonstrates nothing
