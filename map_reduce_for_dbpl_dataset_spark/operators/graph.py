@@ -173,3 +173,51 @@ def connected_components_star(
         .join(roots, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle enumeration with DEGREE-ORDERED orientation
+    (Cohen, "Graph Twiddling in a MapReduce World", CiSE'09; the
+    standard MapReduce triangle recipe). Input: undirected edge set,
+    one row per edge with src < dst, no duplicates. Output: one row
+    (a, b, c) per triangle, each triangle exactly once.
+
+    Scale: the naive wedge join on id-ordered edges generates deg(u)^2
+    wedge candidates at each hub — a celebrity author with 10^5
+    coauthors yields 10^10 candidates in one key group. Re-orienting
+    every edge from its lower-(degree, id) endpoint to its higher one
+    caps every out-degree at O(sqrt(m)), so the wedge join's total
+    output is bounded by m^(3/2) and no single key group exceeds
+    ~sqrt(2m) rows — the skewed-hub problem is removed by
+    construction, not by salting. Two shuffles (degree agg + wedge
+    join); the closing-edge probe joins on the wedge's two endpoints,
+    an equi-join AQE can skew-split if residual hotness remains.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient each edge from lower (deg, id) to higher (deg, id): the
+    # lexicographic tie-break on id makes the order total, so every
+    # triangle has exactly one "apex" (its (deg,id)-minimal vertex)
+    ed = (
+        e.join(deg.select("u", F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    oriented = ed.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd | tie, F.col("du")).otherwise(F.col("dv")).alias("sd"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd | tie, F.col("dv")).otherwise(F.col("du")).alias("td"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    lex = (F.col("e1.td") < F.col("e2.td")) | (
+        (F.col("e1.td") == F.col("e2.td")) & (F.col("e1.t") < F.col("e2.t"))
+    )
+    wedges = e1.join(e2, (F.col("e1.s") == F.col("e2.s")) & lex).select(
+        F.col("e1.s").alias("a"), F.col("e1.t").alias("b"), F.col("e2.t").alias("c")
+    )
+    # closing edge b—c is oriented b→c because (deg,id)(b) < (deg,id)(c)
+    closer = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    return wedges.join(closer, ["b", "c"]).select("a", "b", "c")

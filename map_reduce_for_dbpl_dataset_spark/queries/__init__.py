@@ -80,6 +80,8 @@ _NEW_R3 = [
     "llm_dedup_incremental",
     "tpch_salted_join",
     "tpch_dynamic_partition_pruning",
+    "tpch_bloom_filter_join",
+    "dblp_coauthor_triangles",
 ]
 
 # Queries whose implementations materially changed in round 3 (two-

@@ -563,6 +563,53 @@ def coauthor_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("author"), "component")
 
 
+def coauthor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-author triangle counts over the co-author graph via
+    degree-ordered orientation (operators/graph.py:triangles — each
+    triangle enumerated exactly once with hub-proof out-degrees, see
+    the operator docstring for the m^(3/2) bound). The count of
+    triangles an author sits in is the numerator of their local
+    clustering coefficient — the standard community-density signal.
+
+    The oracle enumerates the same triangles with plain id-ordering
+    (e1.src = e2.src wedge + closing-edge join): orientation changes
+    WHICH vertex apexes each triangle but not the triangle set, so
+    the per-author hash match proves the degree-ordered plan is
+    exactly lossless and duplicate-free."""
+    from ..operators.graph import triangles
+
+    edges, _ = _coauthor_graph(spark)
+    tri = triangles(edges)
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("author"))
+        .groupBy("author")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("author")
+    )
+
+
+COAUTHOR_TRIANGLES_SQL = f"""
+WITH {_PUBS_CTE},
+ex AS (
+  SELECT key, unnest(list_distinct(aus)) AS a FROM pubs
+),
+pe AS (SELECT key, a FROM ex WHERE a <> ''),
+edges AS (
+  SELECT DISTINCT l.a AS src, r.a AS dst
+  FROM pe l JOIN pe r ON l.key = r.key AND l.a < r.a
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+  JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT author, count(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS author FROM tri)
+GROUP BY author ORDER BY author
+"""
+
+
 COAUTHOR_COMPONENTS_SQL = f"""
 WITH RECURSIVE {_PUBS_CTE},
 ex AS (
@@ -670,6 +717,7 @@ QUERIES = {
     "dblp_coauthor_pairs": coauthor_pairs,
     "dblp_coauthor_components": coauthor_components,
     "dblp_coauthor_components_star": coauthor_components_star,
+    "dblp_coauthor_triangles": coauthor_triangles,
     "dblp_q1_top_authors_per_venue": q1_top_authors_per_venue,
     "dblp_q2_consecutive_years": q2_consecutive_years,
     "dblp_q2_literal_dupreset": q2_literal_dupreset,
@@ -686,6 +734,7 @@ ORACLE_SQL = {
     "dblp_coauthor_pairs": COAUTHOR_PAIRS_SQL,
     "dblp_coauthor_components": COAUTHOR_COMPONENTS_SQL,
     "dblp_coauthor_components_star": COAUTHOR_COMPONENTS_SQL,
+    "dblp_coauthor_triangles": COAUTHOR_TRIANGLES_SQL,
     "dblp_q1_top_authors_per_venue": Q1_SQL,
     "dblp_q2_consecutive_years": Q2_SQL,
     "dblp_q2_literal_dupreset": Q2_LITERAL_SQL,

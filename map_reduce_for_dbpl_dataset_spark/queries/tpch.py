@@ -1268,11 +1268,78 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (InjectRuntimeFilter): the
+    selective predicate on the orders (creation) side is compiled into
+    a bloom_filter_agg subquery whose might_contain(xxhash64(key))
+    predicate lands on the lineitem side BEFORE its shuffle — at
+    100 TB the fact stream drops ~80% of its rows pre-exchange
+    instead of shuffling them to die in the join. This is the
+    shuffle-join counterpart of dynamic partition pruning: DPP prunes
+    directories, the Bloom filter prunes rows of unpartitioned keys.
+
+    Conf scoping: Spark only injects the filter when the application
+    side scans >10 GB (the bloom build costs one extra pass over the
+    dim), so at fixture scale the threshold is lowered — and
+    autoBroadcastJoinThreshold disabled, since sf0.01's orders would
+    broadcast and a broadcast join needs no runtime filter. The
+    physical plan is FORCED while the overrides are set (QueryExecution
+    caches it), then every conf is restored, so no other registry
+    query is affected; at real scale the defaults fire on their own.
+
+    tools/plan_audit.py asserts might_contain + bloom_filter_agg.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        dim = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        rev = F.col("l_extendedprice").cast(D) * (
+            F.lit(1).cast(D) - F.col("l_discount").cast(D)
+        )
+        df = (
+            li.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(rev).cast("double").alias("revenue"),
+            )
+            .orderBy("l_returnflag")
+        )
+        # materialize the physical plan under the scoped confs; the
+        # cached QueryExecution is what collect()/explain() reuse
+        df._jdf.queryExecution().executedPlan()  # noqa: SLF001
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    return df
+
+
+SQL_BLOOM_FILTER_JOIN = """
+SELECT l_returnflag, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES.update(
     {
         "tpch_salted_agg": q_salted_agg,
         "tpch_salted_join": q_salted_join,
         "tpch_bucketed_join": q_bucketed_join,
+        "tpch_bloom_filter_join": q_bloom_filter_join,
     }
 )
 
@@ -1281,6 +1348,7 @@ ORACLE_SQL.update(
         "tpch_salted_agg": SQL_SALTED_AGG,
         "tpch_salted_join": SQL_SALTED_JOIN,
         "tpch_bucketed_join": SQL_BUCKETED_JOIN,
+        "tpch_bloom_filter_join": SQL_BLOOM_FILTER_JOIN,
     }
 )
 

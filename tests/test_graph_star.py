@@ -79,3 +79,39 @@ def test_empty_graph_all_singletons(spark):
     want = {n: n for n in nodes}
     ml, st = _run_both(spark, nodes, [])
     assert ml == want and st == want
+
+
+def test_triangles_match_bruteforce(spark):
+    """Degree-oriented triangle enumeration == brute-force over all
+    3-subsets, on random graphs including a hub (the skew case the
+    orientation exists for)."""
+    from itertools import combinations
+
+    from map_reduce_for_dbpl_dataset_spark.operators.graph import triangles
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 14
+        names = [f"v{i:02d}" for i in range(n)]
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    tuple(sorted(rng.sample(names, 2))) for _ in range(30 + 10 * trial)
+                )
+            }
+        )
+        # trial 3: bolt on a hub adjacent to everything (max-degree node)
+        if trial == 3:
+            edges = sorted(set(edges) | {tuple(sorted(("hub", x))) for x in names})
+        adj = {e for e in edges}
+        nodes = sorted({a for e in edges for a in e})
+        want = {
+            (a, b, c)
+            for a, b, c in combinations(nodes, 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        }
+        edf = spark.createDataFrame(edges, "src string, dst string")
+        got = {tuple(sorted((r.a, r.b, r.c))) for r in triangles(edf).collect()}
+        n_rows = triangles(edf).count()
+        assert got == want, f"trial {trial}: triangle sets differ"
+        assert n_rows == len(want), f"trial {trial}: duplicate triangle rows"

@@ -93,6 +93,19 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("two-phase distinct count on line key", "partial_count(distinct"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "dblp_coauthor_triangles": [
+        # degree-oriented enumeration is equi-joins end to end; a
+        # cartesian here would mean the wedge/closer join degenerated
+        ("no cartesian", "!CartesianProduct"),
+        ("partial agg on per-author counts", "partial_count"),
+    ],
+    "tpch_bloom_filter_join": [
+        # runtime row-level pruning: the fact side must carry the
+        # bloom probe, built by a (partial-)aggregated subquery over
+        # the filtered dim — the shuffle-join analog of DPP
+        ("bloom probe on fact side", "might_contain"),
+        ("bloom built as aggregate subquery", "bloom_filter_agg"),
+    ],
     "tpch_dynamic_partition_pruning": [
         # join-driven pruning: the fact scan's PartitionFilters must
         # carry the runtime subquery, and no static equivalent of the
