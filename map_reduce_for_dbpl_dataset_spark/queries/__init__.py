@@ -82,6 +82,8 @@ _NEW_R3 = [
     "tpch_dynamic_partition_pruning",
     "tpch_bloom_filter_join",
     "dblp_coauthor_triangles",
+    "tpch_cms_heavy_hitters",
+    "tpch_zorder_range_scan",
 ]
 
 # Queries whose implementations materially changed in round 3 (two-

@@ -335,3 +335,60 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["tpch_dynamic_partition_pruning"] = q_dynamic_partition_pruning
 ORACLE_SQL["tpch_dynamic_partition_pruning"] = SQL_DYNAMIC_PARTITION_PRUNING
+
+
+# --- Z-order clustering (multi-column data skipping) -------------------------
+def q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout (operators/zorder.py): orders lands
+    sorted by the Morton interleave of (o_custkey, o_totalprice/16),
+    then a 2-D range predicate scans it back. With linear sort only
+    ONE of the two predicates can skip row groups via min/max stats;
+    on the Morton layout both are locally clustered, so both reach
+    the scan as PushedFilters over tight stats (plan-audited) and at
+    100 TB the scan reads ~(sel_x * sel_y) of the files instead of
+    min(sel_x, sel_y). The oracle filters the UNCLUSTERED table —
+    the hash match proves clustering is a pure layout change.
+
+    The /16 scaling folds o_totalprice (< 600k) into the 16-bit
+    Morton domain with a fixed expression; the production recipe is a
+    min/max pass then proportional scaling (see operator docstring)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    from ..operators.zorder import write_zordered
+
+    path = sink_dir("zorder", sf_dir)
+    write_zordered(
+        o,
+        path,
+        [F.col("o_custkey"), F.floor(F.col("o_totalprice") / 16).cast("long")],
+    )
+    back = spark.read.parquet(path)
+    sel = back.filter(
+        F.col("o_custkey").between(100, 400)
+        & F.col("o_totalprice").between(50000.0, 150000.0)
+    )
+    return (
+        sel.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("sum_price"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_ZORDER_RANGE_SCAN = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 400
+  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+QUERIES["tpch_zorder_range_scan"] = q_zorder_range_scan
+ORACLE_SQL["tpch_zorder_range_scan"] = SQL_ZORDER_RANGE_SCAN

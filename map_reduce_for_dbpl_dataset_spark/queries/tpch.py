@@ -1325,6 +1325,64 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (operators/sketch.py): the
+    event stream collapses to a depth*width=4x256-row sketch in ONE
+    partial-aggregated shuffle (per-task state is bounded by the
+    sketch size, not the key cardinality), then candidate users probe
+    the BROADCAST sketch and keep those whose estimate >= 80 events.
+    At 100 TB this is the play when the key is too high-cardinality to
+    aggregate exactly: the sketch never grows, and the estimate is
+    within (e/width)*N of truth w.p. 1-(1/e)^depth.
+
+    The exact per-user count is joined alongside (n_exact) so the
+    result exhibits est >= exact; the DuckDB oracle rebuilds the SAME
+    md5-hashed sketch relationally, so the hash match proves the
+    sketch, probes, and min-estimate bit-for-bit — not just the final
+    filter."""
+    from ..operators.sketch import cms_build, cms_estimate
+
+    e = _t(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id")
+    cand = e.select(F.col("user_id").cast("string").alias("user_id")).distinct()
+    est = cms_estimate(sketch, cand, "user_id")
+    exact = (
+        e.select(F.col("user_id").cast("string").alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .filter(F.col("est") >= 80)
+        .select("user_id", F.col("est").alias("cms_estimate"), "n_exact")
+        .orderBy("user_id")
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = """
+WITH r AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+sketch AS (
+  SELECT d, (('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || k), 1, 15))::BIGINT) % 256 AS bucket,
+         count(*) AS c
+  FROM r CROSS JOIN ds GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT k FROM r),
+est AS (
+  SELECT cand.k, min(sketch.c) AS est
+  FROM cand CROSS JOIN ds
+  JOIN sketch ON sketch.d = ds.d
+   AND sketch.bucket = (('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || cand.k), 1, 15))::BIGINT) % 256
+  GROUP BY cand.k
+),
+exact AS (SELECT k, count(*) AS n_exact FROM r GROUP BY k)
+SELECT est.k AS user_id, est.est AS cms_estimate, exact.n_exact
+FROM est JOIN exact ON est.k = exact.k
+WHERE est.est >= 80
+ORDER BY user_id
+"""
+
+
 SQL_BLOOM_FILTER_JOIN = """
 SELECT l_returnflag, count(*) AS n_items,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -1340,6 +1398,7 @@ QUERIES.update(
         "tpch_salted_join": q_salted_join,
         "tpch_bucketed_join": q_bucketed_join,
         "tpch_bloom_filter_join": q_bloom_filter_join,
+        "tpch_cms_heavy_hitters": q_cms_heavy_hitters,
     }
 )
 
@@ -1349,6 +1408,7 @@ ORACLE_SQL.update(
         "tpch_salted_join": SQL_SALTED_JOIN,
         "tpch_bucketed_join": SQL_BUCKETED_JOIN,
         "tpch_bloom_filter_join": SQL_BLOOM_FILTER_JOIN,
+        "tpch_cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     }
 )
 

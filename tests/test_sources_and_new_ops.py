@@ -189,3 +189,87 @@ def test_transform_with_state_gated_consistently(spark):
     )
 
     assert ("stream_transform_with_state" in QUERIES) == transform_with_state_available()
+
+
+def test_interleave_bits_matches_python(spark):
+    """Morton key expression == bit-interleave reference, including
+    the 3-column case and values at the 16-bit domain edge."""
+    from map_reduce_for_dbpl_dataset_spark.operators.zorder import interleave_bits
+
+    def morton(vals, bits):
+        z = 0
+        for j, v in enumerate(vals):
+            for i in range(bits):
+                z |= ((v >> i) & 1) << (i * len(vals) + j)
+        return z
+
+    rows = [(0, 0, 0), (1, 2, 3), (65535, 0, 65535), (12345, 54321, 7)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got2 = [
+        r.z
+        for r in df.select(interleave_bits([F.col("a"), F.col("b")]).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    want2 = sorted(morton([a, b], 16) for a, b, _ in rows)
+    assert got2 == want2
+    got3 = [
+        r.z
+        for r in df.select(
+            interleave_bits([F.col("a"), F.col("b"), F.col("c")], bits=8).alias("z")
+        )
+        .orderBy("z")
+        .collect()
+    ]
+    want3 = sorted(morton([a & 255, b & 255, c & 255], 8) for a, b, c in rows)
+    assert got3 == want3
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    """After the Morton write, per-file min/max spans of BOTH columns
+    are a fraction of their full ranges — the property row-group
+    skipping depends on (a linear sort gives it to one column only)."""
+    import glob
+
+    from map_reduce_for_dbpl_dataset_spark.operators.zorder import write_zordered
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, [F.col("x"), F.col("y")], n_files=8, bits=6)
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        part = spark.read.parquet(f).agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()[0]
+        spans_x.append(part[1] - part[0])
+        spans_y.append(part[3] - part[2])
+    assert len(spans_x) >= 4
+    # full range of each column is 64; a random or single-sorted
+    # layout leaves the OTHER column's span at ~64 in every file
+    assert sum(spans_x) / len(spans_x) <= 48
+    assert sum(spans_y) / len(spans_y) <= 48
+
+
+def test_cms_estimate_upper_bounds_and_tightness(spark):
+    """est >= exact for every key (CMS never undercounts), and with
+    width >> distinct keys the estimate is exact."""
+    from map_reduce_for_dbpl_dataset_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.range(2000).select((F.col("id") % 37).alias("k"))
+    sketch = cms_build(df, "k")
+    cand = df.select("k").distinct()
+    est = {r.k: r.est for r in cms_estimate(sketch, cand, "k").collect()}
+    exact = {str(r.k): r.n for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k]
+    # 37 keys into 4x256 buckets: collisions possible but bounded;
+    # min-over-depth should recover the exact count for most keys
+    exact_hits = sum(1 for k in est if est[k] == exact[k])
+    assert exact_hits >= 30

@@ -93,6 +93,18 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("two-phase distinct count on line key", "partial_count(distinct"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "tpch_cms_heavy_hitters": [
+        # the sketch must collapse map-side: partial agg on (d,bucket)
+        # bounds per-task state at depth*width regardless of input
+        ("sketch built with map-side combine", "partial_count"),
+        ("sketch broadcast to probes", "BroadcastHashJoin"),
+    ],
+    "tpch_zorder_range_scan": [
+        # both range predicates must reach the clustered scan — the
+        # whole point of the Morton layout is that BOTH can skip
+        ("custkey range pushed to scan", "GreaterThanOrEqual(o_custkey"),
+        ("totalprice range pushed to scan", "GreaterThanOrEqual(o_totalprice"),
+    ],
     "dblp_coauthor_triangles": [
         # degree-oriented enumeration is equi-joins end to end; a
         # cartesian here would mean the wedge/closer join degenerated
