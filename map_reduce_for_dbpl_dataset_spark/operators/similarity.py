@@ -219,3 +219,102 @@ def ivf_topk(
             "query_id", "neighbor_id", F.floor(F.col("cos") * 1e6).cast("long").alias("cos_micro")
         )
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    codeword_ids: list[int],
+    n_sub: int = 4,
+    k: int = 3,
+    scale: int = 1000,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011 — the FAISS PQ/ADC layout).
+
+    The vector space is split into ``n_sub`` subspaces; each corpus
+    subvector is ENCODED as the id of its nearest per-subspace
+    codeword (here the codebook rows are the subvectors of the
+    ``codeword_ids`` vectors — a production pipeline trains them with
+    operators/kmeans.py per subspace; layout and joins are identical).
+    A query never touches corpus vectors: it precomputes a
+    (subspace, code) -> partial-d2 lookup table and scores every
+    corpus row as the SUM of n_sub table lookups.
+
+    Scale: this is the memory-bound regime's answer — the corpus
+    collapses from dim*4 bytes/row to n_sub*log2(K) BITS/row (here
+    64 floats -> 1 byte), so a 100 TB embedding store becomes ~0.4 TB
+    of codes that fit executor memory. The encode pass is a broadcast
+    join against the K*n_sub-row codebook with a partial-agg argmin;
+    the search pass is a broadcast of the per-query LUT (Q*n_sub*K
+    rows) against the codes with sum/topk — the corpus never
+    shuffles until the final per-query WindowGroupLimit. Compose with
+    ivf_topk cells to prune the scan itself (IVF-PQ).
+
+    Determinism: quantized integer subvector distances, argmin ties
+    to the lower code, ADC ties to the lower neighbor id —
+    bit-identical to the DuckDB oracle."""
+    from .kmeans import dist2_q
+
+    def _subs(df: DataFrame, idc: str, out: str) -> DataFrame:
+        # sub_dim comes from the vector column itself (size/n_sub), so
+        # the operator is dim-agnostic without a driver-side action
+        q = quantize(F.col(vec_col), scale)
+        sd = (F.size(q) / n_sub).cast("int")
+        parts = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice(q, sd * m + 1, sd).alias("sq"),
+                )
+                for m in range(n_sub)
+            ]
+        )
+        return df.select(F.col(idc).alias(out), F.explode(parts).alias("p")).select(
+            out, "p.m", "p.sq"
+        )
+
+    # codebook: (m, code, bq); code = position of the id in codeword_ids
+    code_expr = F.col("_cwid")
+    mapping = F.lit(None).cast("int")
+    for idx, cid in enumerate(codeword_ids):
+        mapping = F.when(code_expr == cid, idx).otherwise(mapping)
+    book = (
+        _subs(
+            corpus.filter(F.col(id_col).isin(list(codeword_ids))), id_col, "_cwid"
+        )
+        .withColumn("code", mapping)
+        .select("m", "code", F.col("sq").alias("bq"))
+    )
+
+    codes = (
+        _subs(corpus, id_col, "nid")
+        .join(F.broadcast(book), "m")
+        .withColumn("d2", dist2_q(F.col("sq"), F.col("bq")))
+        .groupBy("nid", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("mn"))
+        .select("nid", "m", F.col("mn.code").alias("code"))
+    )
+
+    lut = (
+        _subs(queries, query_id_col, "query_id")
+        .join(F.broadcast(book), "m")
+        .select("query_id", "m", "code", dist2_q(F.col("sq"), F.col("bq")).alias("d2"))
+    )
+
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("nid") != F.col("query_id"))
+        .groupBy("query_id", "nid")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("nid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col("nid").alias("neighbor_id"), "adc_d2")
+    )

@@ -84,6 +84,7 @@ _NEW_R3 = [
     "dblp_coauthor_triangles",
     "tpch_cms_heavy_hitters",
     "tpch_zorder_range_scan",
+    "llm_ann_pq",
 ]
 
 # Queries whose implementations materially changed in round 3 (two-

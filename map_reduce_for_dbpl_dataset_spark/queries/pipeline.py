@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60, normalize_text, tokens
-from ..operators.similarity import ivf_topk
+from ..operators.similarity import ivf_topk, pq_adc_topk
 from ..sources.parquet import load_table
 from .llm import _SH_CTE, EMB_DIM, N_QUERY_VECS, _docs_shingled
 
@@ -384,6 +384,80 @@ FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
 """
 
 
+# --- PQ / ADC ANN ------------------------------------------------------------
+# Per-subspace codebook rows: the 4 vectors after the IVF centroids
+# act as fixed codewords (a production pipeline trains them per
+# subspace with operators/kmeans.py; encode/search joins identical).
+PQ_CODEWORD_IDS = list(range(N_QUERY_VECS + 8, N_QUERY_VECS + 12))
+PQ_N_SUB = 4
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring (see
+    operators/similarity.py pq_adc_topk): corpus rows collapse to
+    4 two-bit codes; queries precompute a (subspace, code) lookup
+    table and rank the whole corpus by 4 table lookups per row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        codeword_ids=PQ_CODEWORD_IDS,
+        n_sub=PQ_N_SUB,
+        k=3,
+    ).orderBy("query_id", "neighbor_id")
+
+
+def _pq_sql() -> str:
+    sub_dim = EMB_DIM // PQ_N_SUB
+    case = " ".join(
+        f"WHEN {cid} THEN {idx}" for idx, cid in enumerate(PQ_CODEWORD_IDS)
+    )
+    ids = ", ".join(str(i) for i in PQ_CODEWORD_IDS)
+    d2 = f"list_sum([(s.sq[i] - b.bq[i]) * (s.sq[i] - b.bq[i]) for i in range(1, {sub_dim + 1})])"
+    return f"""
+WITH q0 AS (
+  SELECT vec_id, {_IVF_QUANT} AS q FROM embeddings
+),
+ms AS (SELECT unnest([{", ".join(str(m) for m in range(PQ_N_SUB))}]) AS m),
+subs AS (
+  SELECT vec_id, m, q[m * {sub_dim} + 1 : m * {sub_dim} + {sub_dim}] AS sq
+  FROM q0 CROSS JOIN ms
+),
+book AS (
+  SELECT m, CASE vec_id {case} END AS code, sq AS bq
+  FROM subs WHERE vec_id IN ({ids})
+),
+enc AS (
+  SELECT s.vec_id AS nid, s.m, b.code, {d2} AS d2
+  FROM subs s JOIN book b USING (m)
+),
+codes AS (
+  SELECT nid, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY nid, m ORDER BY d2, code) AS rn FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, b.code, {d2} AS d2
+  FROM subs s JOIN book b USING (m)
+  WHERE s.vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT l.query_id, c.nid, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code AND c.nid != l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, nid) AS rn
+  FROM scored
+)
+SELECT query_id, nid AS neighbor_id, adc_d2
+FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
+"""
+
+
 # --- edit-distance near-dup --------------------------------------------------
 LEV_SEEDS = 25
 LEV_MAX_DIST = 5
@@ -444,6 +518,7 @@ QUERIES = {
     "llm_sequence_pack": q_sequence_pack,
     "llm_repetition": q_repetition,
     "llm_ann_ivf": q_ann_ivf,
+    "llm_ann_pq": q_ann_pq,
 }
 
 ORACLE_SQL = {
@@ -454,6 +529,7 @@ ORACLE_SQL = {
     "llm_sequence_pack": SQL_SEQUENCE_PACK,
     "llm_repetition": SQL_REPETITION,
     "llm_ann_ivf": _ivf_sql(),
+    "llm_ann_pq": _pq_sql(),
 }
 
 

@@ -273,3 +273,61 @@ def test_cms_estimate_upper_bounds_and_tightness(spark):
     # min-over-depth should recover the exact count for most keys
     exact_hits = sum(1 for k in est if est[k] == exact[k])
     assert exact_hits >= 30
+
+
+def test_pq_adc_structure_and_recall(spark):
+    """PQ/ADC returns exactly k neighbors per query, never the query
+    itself, and a planted exact duplicate of the query attains the
+    MINIMAL possible ADC — sum over subspaces of the query's own
+    quantization error (the duplicate shares the query's argmin codes,
+    so nothing can score lower; other vectors may tie by landing in
+    the same cells, which is PQ's resolution limit by design)."""
+    import random as _r
+
+    from map_reduce_for_dbpl_dataset_spark.operators.similarity import pq_adc_topk
+
+    rng = _r.Random(11)
+    dim, n = 16, 60
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    rows.append((100, list(rows[0][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(k):
+        return pq_adc_topk(
+            corpus=df,
+            queries=df.filter(F.col("vec_id") < 2),
+            id_col="vec_id",
+            vec_col="embedding",
+            query_id_col="vec_id",
+            codeword_ids=[10, 11, 12, 13],
+            n_sub=4,
+            k=k,
+        ).collect()
+
+    per_q = {}
+    for r in run(3):
+        assert r.neighbor_id != r.query_id
+        assert r.adc_d2 >= 0
+        per_q.setdefault(r.query_id, []).append(r)
+    assert {q: len(v) for q, v in per_q.items()} == {0: 3, 1: 3}
+
+    # full ranking: the duplicate's ADC == the global minimum for q0,
+    # and == the theoretical floor Σ_m min_code d2(q0_sub, codeword)
+    full = {(r.query_id, r.neighbor_id): r.adc_d2 for r in run(100)}
+    q0 = {nid: d for (qid, nid), d in full.items() if qid == 0}
+    quant = [int(__import__("math").floor(x * 1000)) for x in rows[0][1]]
+    books = {
+        m: [
+            [int(__import__("math").floor(x * 1000)) for x in rows[cw][1]][m * 4 : m * 4 + 4]
+            for cw in (10, 11, 12, 13)
+        ]
+        for m in range(4)
+    }
+    floor_adc = sum(
+        min(
+            sum((a - b) ** 2 for a, b in zip(quant[m * 4 : m * 4 + 4], bq))
+            for bq in books[m]
+        )
+        for m in range(4)
+    )
+    assert q0[100] == min(q0.values()) == floor_adc

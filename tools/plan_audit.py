@@ -67,6 +67,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("K-row centroid table broadcast", "BroadcastNestedLoopJoin"),
         ("partial agg in centroid update", "partial_sum"),
     ],
+    "llm_ann_pq": [
+        # ADC: the codebook and LUT sides broadcast; the corpus/code
+        # stream must never be the build side of anything
+        ("codebook/LUT broadcast", "BroadcastHashJoin"),
+        ("no cartesian", "!CartesianProduct"),
+        ("encode argmin is partial-aggregated", "partial_min"),
+    ],
     "llm_dedup_levenshtein": [
         ("prefix-block equi-join (not cartesian)", "!CartesianProduct"),
     ],
