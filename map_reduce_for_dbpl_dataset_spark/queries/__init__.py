@@ -85,6 +85,7 @@ _NEW_R3 = [
     "tpch_cms_heavy_hitters",
     "tpch_zorder_range_scan",
     "llm_ann_pq",
+    "tpch_interval_join",
 ]
 
 # Queries whose implementations materially changed in round 3 (two-

@@ -1325,6 +1325,49 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal containment join WITHOUT a nested loop
+    (operators/intervals.py): each order opens a 14-day window
+    [o_orderdate, +14d]; count the lineitems (of ANY order — no key
+    relation) shipped inside each window, rolled up by order month.
+    5.4M containment pairs at sf0.01; the bin equi-join plans as a
+    hash/broadcast join on bin id (plan-audited: no
+    BroadcastNestedLoopJoin, no cartesian) instead of the quadratic
+    point-vs-interval scan a raw BETWEEN join produces.
+
+    The oracle runs the raw inequality join (DuckDB's IEJoin handles
+    it natively) — the hash match proves the binned plan finds every
+    containment pair exactly once."""
+    from ..operators.intervals import point_in_interval_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("w_start"),
+        F.date_add(F.to_date("o_orderdate"), 14).alias("w_end"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(F.to_date("l_shipdate").alias("ship_d"))
+    joined = point_in_interval_join(li, o, "ship_d", "w_start", "w_end", bin_days=14)
+    return (
+        joined.groupBy(F.date_format("w_start", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_INTERVAL_JOIN = """
+SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month,
+       count(*) AS n_pairs,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM orders o JOIN lineitem l
+  ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+ AND CAST(l.l_shipdate AS DATE) <= CAST(o.o_orderdate AS DATE) + 14
+GROUP BY 1 ORDER BY month
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via a count-min sketch (operators/sketch.py): the
     event stream collapses to a depth*width=4x256-row sketch in ONE
@@ -1399,6 +1442,7 @@ QUERIES.update(
         "tpch_bucketed_join": q_bucketed_join,
         "tpch_bloom_filter_join": q_bloom_filter_join,
         "tpch_cms_heavy_hitters": q_cms_heavy_hitters,
+        "tpch_interval_join": q_interval_join,
     }
 )
 
@@ -1409,6 +1453,7 @@ ORACLE_SQL.update(
         "tpch_bucketed_join": SQL_BUCKETED_JOIN,
         "tpch_bloom_filter_join": SQL_BLOOM_FILTER_JOIN,
         "tpch_cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+        "tpch_interval_join": SQL_INTERVAL_JOIN,
     }
 )
 

@@ -331,3 +331,32 @@ def test_pq_adc_structure_and_recall(spark):
         for m in range(4)
     )
     assert q0[100] == min(q0.values()) == floor_adc
+
+
+def test_point_in_interval_join_matches_naive(spark):
+    """Binned containment join == naive cross-join filter, including
+    intervals LONGER than the bin width (multi-bin replication) and
+    zero-length intervals; every pair exactly once."""
+    import datetime as _dt
+    import random as _r
+
+    from map_reduce_for_dbpl_dataset_spark.operators.intervals import (
+        point_in_interval_join,
+    )
+
+    rng = _r.Random(3)
+    base = _dt.date(2020, 1, 1)
+    pts = [(i, base + _dt.timedelta(days=rng.randrange(0, 200))) for i in range(120)]
+    ivs = []
+    for j in range(40):
+        s = base + _dt.timedelta(days=rng.randrange(0, 200))
+        ln = rng.choice([0, 3, 14, 45])  # up to 3x the bin width
+        ivs.append((j, s, s + _dt.timedelta(days=ln)))
+    pdf = spark.createDataFrame(pts, "pid long, d date")
+    idf = spark.createDataFrame(ivs, "iid long, s date, e date")
+    got = {
+        (r.pid, r.iid)
+        for r in point_in_interval_join(pdf, idf, "d", "s", "e", bin_days=14).collect()
+    }
+    want = {(p, j) for p, d in pts for j, s, e in ivs if s <= d <= e}
+    assert got == want

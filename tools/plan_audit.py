@@ -100,6 +100,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("two-phase distinct count on line key", "partial_count(distinct"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "tpch_interval_join": [
+        # the entire point: containment compiles to an equi-join on
+        # bin id, not a nested-loop/cartesian scan
+        ("no nested-loop join", "!BroadcastNestedLoopJoin"),
+        ("no cartesian", "!CartesianProduct"),
+        ("partial agg on month rollup", "partial_count"),
+    ],
     "tpch_cms_heavy_hitters": [
         # the sketch must collapse map-side: partial agg on (d,bucket)
         # bounds per-task state at depth*width regardless of input
