@@ -86,6 +86,7 @@ _NEW_R3 = [
     "tpch_zorder_range_scan",
     "llm_ann_pq",
     "tpch_interval_join",
+    "tpch_hll_incremental",
 ]
 
 # Queries whose implementations materially changed in round 3 (two-

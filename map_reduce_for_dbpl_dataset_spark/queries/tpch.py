@@ -1325,6 +1325,75 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark's
+    hll_sketch_agg/hll_union_agg): distinct customers are sketched
+    PER ORDER-YEAR, then the year sketches are UNIONED into the
+    all-time estimate — the incremental-rollup pattern where a 100 TB
+    history is never rescanned: each new partition contributes a
+    KB-sized sketch and distinct counts over any year range come from
+    sketch unions (exact distinct does not compose; sketches do).
+
+    Oracle strategy: DuckDB cannot evaluate DataSketches, so the
+    estimates are exported as deterministic BOOLEAN claims the oracle
+    states as literals — (a) per-year |estimate - exact|/exact < 6%
+    (lgK=12 HLL at these cardinalities), (b) the UNION-of-year-
+    sketches estimate is within 6% of the exact all-time distinct.
+    (The union is not bit-equal to the single-pass sketch — merging
+    promotes sparse sketches to the dense HLL_8 representation with a
+    slightly different estimator: measured 1488 vs 1492 vs exact 1500
+    at sf0.01 — so the deterministic claim is the error bound, not
+    equality.) The exact per-year distinct count rides along and is
+    hash-checked as a hard value; everything is a fixed function of
+    the input, so a red row means the sketch path broke, not a flaky
+    tolerance."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    per_year = o.groupBy("yr").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    yearly = per_year.select(
+        "yr",
+        "n_exact",
+        F.hll_sketch_estimate("sk").alias("est"),
+        "sk",
+    )
+    merged = yearly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    total = o.agg(F.countDistinct("o_custkey").alias("n_total"))
+    flags = merged.join(total).select(
+        (
+            F.abs(F.col("merged_est") - F.col("n_total")) / F.col("n_total") < 0.06
+        ).alias("merged_within_6pct")
+    )
+    return (
+        yearly.join(F.broadcast(flags))
+        .select(
+            "yr",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                / F.col("n_exact")
+                < 0.06
+            ).alias("est_within_6pct"),
+            "merged_within_6pct",
+        )
+        .orderBy("yr")
+    )
+
+
+SQL_HLL_INCREMENTAL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       count(DISTINCT o_custkey) AS n_exact,
+       TRUE AS est_within_6pct,
+       TRUE AS merged_within_6pct
+FROM orders GROUP BY 1 ORDER BY yr
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal containment join WITHOUT a nested loop
     (operators/intervals.py): each order opens a 14-day window
@@ -1443,6 +1512,7 @@ QUERIES.update(
         "tpch_bloom_filter_join": q_bloom_filter_join,
         "tpch_cms_heavy_hitters": q_cms_heavy_hitters,
         "tpch_interval_join": q_interval_join,
+        "tpch_hll_incremental": q_hll_incremental,
     }
 )
 
@@ -1454,6 +1524,7 @@ ORACLE_SQL.update(
         "tpch_bloom_filter_join": SQL_BLOOM_FILTER_JOIN,
         "tpch_cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "tpch_interval_join": SQL_INTERVAL_JOIN,
+        "tpch_hll_incremental": SQL_HLL_INCREMENTAL,
     }
 )
 
