@@ -87,6 +87,8 @@ _NEW_R3 = [
     "llm_ann_pq",
     "tpch_interval_join",
     "tpch_hll_incremental",
+    "tpch_weighted_sample",
+    "llm_winnow_pairs",
 ]
 
 # Queries whose implementations materially changed in round 3 (two-

@@ -27,6 +27,7 @@ from ..functions.text import (
     STOPWORDS,
     fingerprint,
     floor6,
+    hash60,
     langid_expr,
     marker_hits,
     normalize_text,
@@ -942,3 +943,110 @@ def q_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["llm_token_count_arrow"] = q_token_count_arrow
 ORACLE_SQL["llm_token_count_arrow"] = SQL_TOKEN_COUNT
+
+
+# --- winnowing fingerprints (MOSS) -------------------------------------------
+WINNOW_W = 4  # window of consecutive shingle hashes per fingerprint
+WINNOW_MUTANTS = 25
+WINNOW_MAX_DF = 50  # drop boilerplate fingerprints shared too widely
+WINNOW_MIN_SHARED = 8
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash the ORDERED shingle
+    sequence, slide a w=4 window over it, keep each window's minimum
+    — a guaranteed-coverage ~2/(w+1) sample of the shingles that is
+    position-robust (any shared substring of >= w+2 tokens shares a
+    fingerprint). Candidate near-dup pairs then come from joining on
+    the SAMPLED fingerprints instead of every shingle — the
+    full-shingle join's shuffle shrinks ~2.5x at the same recall
+    floor, and widely-shared fingerprints are capped by document
+    frequency (<= 50) exactly like llm_boilerplate_lines, which
+    bounds the join's hot keys (same two-regime reasoning as the LSH
+    bucket cap in operators/dedup.py).
+
+    The fixture corpus has no natural substring-sharing pairs, so
+    mutants (doc_id+400000, a tail appended — prefix shingles intact)
+    are injected identically in both engines; expected output = each
+    doc paired with its mutant. All arithmetic is hash60/integer —
+    the oracle replays the sequence, windows, and mins verbatim."""
+    W = WINNOW_W
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = d.filter(F.col("doc_id") < WINNOW_MUTANTS).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat("text", F.lit(" winnowed mutant tail")).alias("text"),
+    )
+    corpus = d.unionAll(mut)
+    hs = corpus.select(
+        "doc_id",
+        F.transform(word_shingles(tokens(F.col("text")), 3), hash60).alias("h"),
+    ).filter(F.size("h") >= W)
+    fps = hs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("h") - W),
+                lambda i: F.array_min(F.slice(F.col("h"), i + 1, F.lit(W))),
+            )
+        ).alias("fps"),
+    )
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    # document frequency rides the fp shuffle as a window count (no
+    # second aggregate subtree — same move as lsh_sized_buckets)
+    from pyspark.sql import Window
+
+    exf = ex.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= WINNOW_MAX_DF)
+    a, b = exf.alias("a"), exf.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 400000, text || ' winnowed mutant tail'
+  FROM documents WHERE doc_id < {WINNOW_MUTANTS}
+),
+wtoks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM corpus
+),
+wsh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+              ELSE [] END AS ss
+  FROM wtoks
+),
+whs AS (
+  SELECT doc_id,
+         list_transform(ss, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS h
+  FROM wsh WHERE len(ss) >= {WINNOW_W}
+),
+wfp AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[i:i+{WINNOW_W - 1}]) for i in range(1, len(h) - {WINNOW_W - 2})]) AS fps
+  FROM whs
+),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM wfp),
+dfc AS (SELECT fp, count(*) AS c FROM ex GROUP BY fp),
+exf AS (SELECT ex.doc_id, ex.fp FROM ex JOIN dfc USING (fp) WHERE c <= {WINNOW_MAX_DF})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM exf a JOIN exf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+QUERIES["llm_winnow_pairs"] = q_winnow_pairs
+ORACLE_SQL["llm_winnow_pairs"] = SQL_WINNOW_PAIRS

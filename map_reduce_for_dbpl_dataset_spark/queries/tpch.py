@@ -1325,6 +1325,49 @@ def q_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-weighted order sample (operators/sampling.py, A-ES):
+    200 orders drawn with probability ~ o_totalprice in ONE pass,
+    deterministically (hash-derived uniforms, not rand()), planned as
+    TakeOrderedAndProject — the distributed reservoir. High-value
+    orders dominate the sample, which the output makes visible by
+    aggregating the sample per status against its full-population
+    counterpart: avg_sampled_price >> avg_all_price.
+
+    The oracle reproduces key = ln(u)/w formula-for-formula (u is an
+    exact rational of the md5 hash; ln is the one transcendental —
+    IEEE-identical across both engines at these magnitudes)."""
+    from ..operators.sampling import weighted_sample
+
+    o = _t(spark, sf_dir, "orders")
+    s = weighted_sample(o, "o_orderkey", "o_totalprice", k=200)
+    return (
+        s.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast(D)).cast("double").alias("sampled_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT *,
+         ln(((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 1000000) + 1)
+            / 1000001.0) / o_totalprice AS k
+  FROM orders
+),
+s AS (SELECT * FROM keyed ORDER BY k DESC, o_orderkey ASC LIMIT 200)
+SELECT o_orderstatus, count(*) AS n_sampled,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_price,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (Apache DataSketches via Spark's
     hll_sketch_agg/hll_union_agg): distinct customers are sketched
@@ -1513,6 +1556,7 @@ QUERIES.update(
         "tpch_cms_heavy_hitters": q_cms_heavy_hitters,
         "tpch_interval_join": q_interval_join,
         "tpch_hll_incremental": q_hll_incremental,
+        "tpch_weighted_sample": q_weighted_sample,
     }
 )
 
@@ -1525,6 +1569,7 @@ ORACLE_SQL.update(
         "tpch_cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
         "tpch_interval_join": SQL_INTERVAL_JOIN,
         "tpch_hll_incremental": SQL_HLL_INCREMENTAL,
+        "tpch_weighted_sample": SQL_WEIGHTED_SAMPLE,
     }
 )
 

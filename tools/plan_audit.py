@@ -100,6 +100,17 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("two-phase distinct count on line key", "partial_count(distinct"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "llm_winnow_pairs": [
+        ("no cartesian", "!CartesianProduct"),
+        ("pair counts partial-aggregated", "partial_count"),
+        # document-frequency cap rides the fp shuffle as a window
+        ("df cap via window, not a second agg subtree", "Window"),
+    ],
+    "tpch_weighted_sample": [
+        # the distributed reservoir: global k-largest-keys must plan
+        # as per-task heaps, not a global sort
+        ("global top-k as heap", "TakeOrderedAndProject"),
+    ],
     "tpch_interval_join": [
         # the entire point: containment compiles to an equi-join on
         # bin id, not a nested-loop/cartesian scan
