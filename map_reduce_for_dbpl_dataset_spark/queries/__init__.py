@@ -89,6 +89,7 @@ _NEW_R3 = [
     "tpch_hll_incremental",
     "tpch_weighted_sample",
     "llm_winnow_pairs",
+    "llm_trimmed_mean_grouped_agg",
 ]
 
 # Queries whose implementations materially changed in round 3 (two-

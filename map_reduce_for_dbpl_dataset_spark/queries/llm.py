@@ -1050,3 +1050,72 @@ ORDER BY id_a, id_b
 
 QUERIES["llm_winnow_pairs"] = q_winnow_pairs
 ORACLE_SQL["llm_winnow_pairs"] = SQL_WINNOW_PAIRS
+
+
+# --- grouped-agg pandas UDF (U1 matrix: the aggregate-UDF surface) -----------
+def q_trimmed_mean_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDF — the one Arrow-Python surface the U1
+    matrix did not yet exercise (scalar pandas_udf, grouped-map
+    applyInPandas, mapInPandas, mapInArrow, applyInPandasWithState all
+    have rows): a 10%-trimmed mean of document length per (lang,
+    source), i.e. a whole-group reduction whose Python body receives
+    the group's column as ONE pandas Series. Trimming by VALUE is
+    order-free, and the mean is computed in exact integer micro units
+    (sum*1e6 // count), so the result is bit-identical to the oracle's
+    rank-window SQL — no float-summation-order hazard crosses the
+    engine boundary.
+
+    Scale: grouped-agg UDFs aggregate WITHOUT partial aggregation —
+    every group's rows ship to one task (unlike JVM partial_avg).
+    That is the documented cost of the surface: use it for genuinely
+    non-decomposable statistics (trimmed/winsorized estimators, exact
+    medians); decomposable ones belong in JVM expressions. Group
+    count here is bounded (langs x sources), so the shuffle is wide
+    but each group fits a task."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import ship_package
+
+    ship_package(spark)
+
+    @pandas_udf("long")
+    def trimmed_mean_micro(v: pd.Series) -> int:
+        s = np.sort(v.to_numpy(dtype="int64"))
+        k = int(len(s) // 10)
+        core = s[k : len(s) - k] if len(s) > 2 * k else s
+        return int(int(core.sum()) * 1_000_000 // len(core))
+
+    d = load_table(spark, sf_dir, "documents")
+    # Spark rejects a grouped-agg pandas UDF mixed with JVM aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the count comes
+    # from its own (partial-aggregated) pass joined back on the keys
+    tm = d.groupBy("lang", "source").agg(
+        trimmed_mean_micro("n_chars").alias("trimmed_mean_chars_micro")
+    )
+    counts = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tm.join(counts, ["lang", "source"])
+        .select("lang", "source", "n_docs", "trimmed_mean_chars_micro")
+        .orderBy("lang", "source")
+    )
+
+
+SQL_TRIMMED_MEAN_GROUPED_AGG = """
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang, source ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM documents
+),
+core AS (
+  SELECT lang, source, n_chars, n
+  FROM ranked
+  WHERE n <= 2 * (n // 10) OR (rn > n // 10 AND rn <= n - n // 10)
+)
+SELECT lang, source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) * 1000000 // count(*) AS trimmed_mean_chars_micro
+FROM core GROUP BY lang, source ORDER BY lang, source
+"""
+
+QUERIES["llm_trimmed_mean_grouped_agg"] = q_trimmed_mean_grouped_agg
+ORACLE_SQL["llm_trimmed_mean_grouped_agg"] = SQL_TRIMMED_MEAN_GROUPED_AGG
