@@ -10,16 +10,30 @@ in llm.py would have dropped ~30 queries with no signal). Genuinely
 optional dependencies are gated inside the individual query functions
 (e.g. streaming/transform_state.py), never at import time.
 
-Ordering: the grading driver's differential check covers only the
-FIRST 50 ``queries()`` entries per round, so the registry is ordered
-by correctness-signal priority, not by family. Round-3 window: the 16
-queries no driver round has ever checked come first (closing them out
-makes cumulative driver coverage 106/106), then the 10 formerly-red
-round-1 rows (the riskiest re-checks — they must stay green under
-rotation), then the round-2 rows covering whole execution surfaces
-(streaming state stores, sinks/write paths, Python DataSource,
-mapInPandas-over-binary) to fill the 50, then everything already
-proven green.
+RE-CERTIFICATION ROTATION POLICY (round-3 verdict #2, made explicit
+here in round 4): the grading driver's differential oracle check
+covers only the FIRST 50 ``queries()`` entries per round, so the
+registry is ordered so that the stalest correctness signal is always
+refreshed first.  The order is:
+
+  1. queries with NO driver CORRECTNESS row in any round (new this
+     round, or previously squeezed out of the window) — a first hard
+     driver signal beats any re-check;
+  2. queries whose implementation materially changed since their last
+     green row (their old row no longer certifies the current code);
+  3. everything else ascending by last-driver-checked round
+     (oldest-first), ties broken by execution-surface risk — streaming
+     state stores, sink write paths, Python-worker/Arrow surfaces, and
+     iterative/windowed-global plans are unique surfaces no other row
+     covers, while expression queries share dtype/plan classes with
+     dozens of green siblings — then by name for a stable order.
+
+Maintained per round: after CORRECTNESS_r{N}.json lands, fold its rows
+into ``_LAST_CHECKED`` (value = round number), empty ``_CHANGED``, and
+list any new queries' names nowhere (absence == never checked).  Under
+this policy no row's latest green check can lag more than
+ceil(registry_size / 50) rounds behind, and a red row automatically
+resurfaces at the front next round via ``_CHANGED`` when fixed.
 """
 
 from __future__ import annotations
@@ -32,106 +46,178 @@ from . import dblp, llm, pipeline, sinks_queries, streaming_queries, tpch
 
 _FAMILIES = (dblp, tpch, llm, pipeline, streaming_queries, sinks_queries)
 
-# The 16 queries with no driver CORRECTNESS row in rounds 1–2 (the
-# driver checks the first 50 only; r1 covered 50, r2 covered 50 with a
-# 10-row overlap). Front of the r3 window — green rows here complete
-# cumulative driver verification at 106/106.
-_NEVER_CHECKED = [
-    "tpch_percentiles",
-    "tpch_union_by_name",
-    "tpch_sql_api_top_spenders",
-    "tpch_asof_cogroup",
-    "tpch_window_range_frame",
-    "tpch_udtf_series",
-    "tpch_lateral_posexplode",
-    "tpch_unpivot_melt",
-    "tpch_merge_upsert",
-    "tpch_approx_distinct",
-    "tpch_variant_json",
-    "tpch_histogram",
-    "tpch_subquery_not_exists",
-    "llm_token_count",
-    "llm_repetition",
-    "dblp_coauthor_components_star",
-]
+# Last round in which the grading driver recorded a green CORRECTNESS
+# row for each query (union of CORRECTNESS_r01/02/03.json — all rows in
+# each file were green at that round's check or fixed-and-rechecked in
+# a later one).  Queries absent from this map have never been driver
+# checked and sort to the very front.
+_LAST_CHECKED: dict[str, int] = {
+    # --- round 1 (stalest: 39 rows, all in the round-4 window) ---
+    "dblp_coauthor_components": 1,
+    "dblp_coauthor_pairs": 1,
+    "dblp_q1_top_authors_per_venue": 1,
+    "dblp_q2_consecutive_years": 1,
+    "dblp_q2_literal_dupreset": 1,
+    "dblp_q3_solo_titles_per_venue": 1,
+    "dblp_q4_max_authors_per_venue": 1,
+    "tpch_asof_latest_order": 1,
+    "tpch_bucketed_join": 1,
+    "tpch_case_tiers": 1,
+    "tpch_cube_lineitem": 1,
+    "tpch_distinct_agg": 1,
+    "tpch_events_session": 1,
+    "tpch_events_sliding": 1,
+    "tpch_events_tumbling": 1,
+    "tpch_grouping_sets": 1,
+    "tpch_join_anti": 1,
+    "tpch_join_full_outer": 1,
+    "tpch_join_left_order_counts": 1,
+    "tpch_join_nonequi": 1,
+    "tpch_join_range_bands": 1,
+    "tpch_join_semi": 1,
+    "tpch_map_ops": 1,
+    "tpch_null_semantics": 1,
+    "tpch_pivot_status": 1,
+    "tpch_pricing_summary": 1,
+    "tpch_revenue_by_nation": 1,
+    "tpch_rollup_orders": 1,
+    "tpch_scalar_date": 1,
+    "tpch_scalar_math": 1,
+    "tpch_scalar_string": 1,
+    "tpch_scan_filter_project": 1,
+    "tpch_set_ops_nations": 1,
+    "tpch_stats_agg": 1,
+    "tpch_subquery_correlated": 1,
+    "tpch_subquery_in": 1,
+    "tpch_top3_orders_per_cust": 1,
+    "tpch_window_lag_gap": 1,
+    "tpch_window_running_total": 1,
+    # --- round 2 (32 rows; the 10 highest-surface-risk fill the rest
+    # of the round-4 window, the remainder rotate in round 5) ---
+    "llm_ann_brute_topk": 2,
+    "llm_ann_ivf": 2,
+    "llm_ann_lsh_topk": 2,
+    "llm_decontaminate": 2,
+    "llm_dedup_clusters": 2,
+    "llm_dedup_embedding": 2,
+    "llm_dedup_exact": 2,
+    "llm_dedup_levenshtein": 2,
+    "llm_dedup_simhash": 2,
+    "llm_domain_mixture": 2,
+    "llm_fingerprint_rolling": 2,
+    "llm_kmeans": 2,
+    "llm_langid": 2,
+    "llm_multimodal_features": 2,
+    "llm_multimodal_frames": 2,
+    "llm_ngram_jaccard": 2,
+    "llm_ngram_jaccard_prefix": 2,
+    "llm_pii_scrub": 2,
+    "llm_quality_pandas_udf": 2,
+    "llm_sequence_pack": 2,
+    "llm_text_stats": 2,
+    "llm_tfidf_top_terms": 2,
+    "llm_token_count_arrow": 2,
+    "llm_zscore_grouped_map": 2,
+    "src_python_datasource": 2,
+    "src_python_datasource_pruned": 2,
+    "stream_foreachbatch_sink": 2,
+    "tpch_sink_csv_roundtrip": 2,
+    "tpch_sink_json_roundtrip": 2,
+    "tpch_sink_orc_roundtrip": 2,
+    "tpch_sink_partitioned_parquet": 2,
+    "tpch_sink_text_ordered": 2,
+    # --- round 3 (50 rows, freshest) ---
+    "dblp_coauthor_components_star": 3,
+    "dblp_coauthor_triangles": 3,
+    "dblp_pagerank": 3,
+    "dblp_q5_literal_all": 3,
+    "dblp_q5_top_coauthor_volume": 3,
+    "dblp_q6_solo_only_authors": 3,
+    "dblp_xml_ingest": 3,
+    "llm_ann_pq": 3,
+    "llm_boilerplate_lines": 3,
+    "llm_dedup_incremental": 3,
+    "llm_dedup_minhash_lsh": 3,
+    "llm_quality_select": 3,
+    "llm_repetition": 3,
+    "llm_token_count": 3,
+    "llm_trimmed_mean_grouped_agg": 3,
+    "llm_winnow_pairs": 3,
+    "stream_checkpoint_recovery": 3,
+    "stream_dedup_parity": 3,
+    "stream_session_parity": 3,
+    "stream_sliding_parity": 3,
+    "stream_stateful_user_stats": 3,
+    "stream_stream_join_parity": 3,
+    "stream_tumbling_parity": 3,
+    "tpch_approx_distinct": 3,
+    "tpch_array_ops": 3,
+    "tpch_asof_cogroup": 3,
+    "tpch_bloom_filter_join": 3,
+    "tpch_cms_heavy_hitters": 3,
+    "tpch_dynamic_partition_pruning": 3,
+    "tpch_events_rollup_hierarchy": 3,
+    "tpch_hash_sample": 3,
+    "tpch_histogram": 3,
+    "tpch_hll_incremental": 3,
+    "tpch_interval_join": 3,
+    "tpch_json_extract": 3,
+    "tpch_lateral_posexplode": 3,
+    "tpch_merge_upsert": 3,
+    "tpch_percentiles": 3,
+    "tpch_salted_agg": 3,
+    "tpch_salted_join": 3,
+    "tpch_sql_api_top_spenders": 3,
+    "tpch_subquery_not_exists": 3,
+    "tpch_udtf_series": 3,
+    "tpch_union_by_name": 3,
+    "tpch_unpivot_melt": 3,
+    "tpch_variant_json": 3,
+    "tpch_weighted_sample": 3,
+    "tpch_window_ntile": 3,
+    "tpch_window_range_frame": 3,
+    "tpch_zorder_range_scan": 3,
+}
 
-# Round-1 driver rows that were red (oracle-canonicalization bugs,
-# fixed and re-verified green in round 2) — the riskiest re-checks, so
-# they follow immediately and must stay green under rotation.
-_R1_RED = [
-    "dblp_xml_ingest",
-    "dblp_pagerank",
-    "dblp_q5_top_coauthor_volume",
-    "dblp_q5_literal_all",
-    "dblp_q6_solo_only_authors",
-    "tpch_json_extract",
-    "tpch_array_ops",
-    "tpch_hash_sample",
-    "tpch_salted_agg",
-    "tpch_events_rollup_hierarchy",
-]
+# Queries whose implementations materially changed since their last
+# green driver row.  Empty for round 4: no checked query's plan or
+# semantics changed this round (new operators are in neither map and
+# therefore already sort first).
+_CHANGED: list[str] = []
 
 
-# Queries added in round 3 (no driver row can exist yet) — right after
-# the re-checks so they earn first driver rows this round.
-_NEW_R3 = [
-    "llm_boilerplate_lines",
-    "llm_quality_select",
-    "llm_dedup_incremental",
-    "tpch_salted_join",
-    "tpch_dynamic_partition_pruning",
-    "tpch_bloom_filter_join",
-    "dblp_coauthor_triangles",
-    "tpch_cms_heavy_hitters",
-    "tpch_zorder_range_scan",
-    "llm_ann_pq",
-    "tpch_interval_join",
-    "tpch_hll_incremental",
-    "tpch_weighted_sample",
-    "llm_winnow_pairs",
-    "llm_trimmed_mean_grouped_agg",
-]
-
-# Queries whose implementations materially changed in round 3 (two-
-# regime LSH pairs; global-rank range-partition pinning) — their r2
-# green rows no longer certify the current code, so they re-enter the
-# window ahead of unchanged re-checks.
-_CHANGED_R3 = [
-    "llm_dedup_minhash_lsh",
-    "tpch_window_ntile",
-]
+def _surface_risk(n: str) -> int:
+    """Tiebreak within a staleness tier: unique execution surfaces
+    first (streaming state stores, sink write paths, Python workers
+    over Arrow, iterative/windowed-global plans), expression queries
+    with many green plan-class siblings last."""
+    if n.startswith("stream_"):
+        return 0
+    if n.startswith(("tpch_sink_", "src_python_datasource")):
+        return 1
+    if n.startswith("llm_multimodal"):
+        return 2  # unique surface: mapInPandas over binary columns
+    if n in (  # Python-worker / iterative / windowed-global plans
+        "llm_sequence_pack", "llm_quality_pandas_udf",
+        "llm_zscore_grouped_map", "llm_token_count_arrow",
+        "llm_kmeans", "llm_dedup_minhash_lsh", "tpch_window_ntile",
+    ):
+        return 3
+    return 4  # expression queries with many green siblings
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    """Never-driver-checked 16 first, then the 10 formerly-red rows,
-    then the round-3 additions (first rows), then round-2 rows by
-    execution-surface risk — streaming exercises state stores, sinks
-    exercise write paths, the Python DataSource and multimodal queries
-    exercise Python workers over Arrow — none of which any other row
-    covers, while tpch/dblp/llm expression queries share dtype/plan
-    classes with dozens of green rows."""
-    front = [
-        n for n in _NEVER_CHECKED + _R1_RED + _NEW_R3 + _CHANGED_R3 if n in names
-    ]
-    rest = [n for n in names if n not in front]
+    """Rotation policy (module docstring): never-checked, then
+    materially-changed, then oldest-first with surface-risk tiebreak."""
 
-    def family_rank(n: str) -> int:
-        if n.startswith("stream_"):
-            return 0
-        if n.startswith(("tpch_sink_", "src_python_datasource")):
-            return 1
-        if n.startswith("llm_multimodal"):
-            return 2  # unique surface: mapInPandas over binary columns
-        if n in (  # Python-worker / iterative / windowed-global plans
-            "llm_sequence_pack", "llm_quality_pandas_udf",
-            "llm_zscore_grouped_map", "llm_token_count_arrow",
-            "llm_kmeans", "llm_dedup_minhash_lsh", "tpch_window_ntile",
-        ):
-            return 3
-        return 4  # expression queries with many green siblings
+    def key(n: str) -> tuple:
+        if n not in _LAST_CHECKED:
+            return (0, 0, 0, n)
+        if n in _CHANGED:
+            return (1, 0, 0, n)
+        return (2, _LAST_CHECKED[n], _surface_risk(n), n)
 
-    rest.sort(key=family_rank)  # stable: registry order within a rank
-    return front + rest
+    return sorted(names, key=key)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
