@@ -6,6 +6,13 @@ Prints ONE JSON line:
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collect — the fair way to time a distributed plan).
+
+Second scale point (round-3 verdict #4): if the ~10x key-shift-
+replicated fixture set exists (fixtures/sf1, built by
+tools/make_scale_fixtures.py; override with $SPARK_GRAFT_SCALE_DIR),
+the headline suite also runs once there and the JSON line gains
+"queries_sf1" / "value_sf1" / "sf1_lineitem_rows" — the empirical
+scaling curve alongside the sf0.1 numbers.
 """
 
 from __future__ import annotations
@@ -28,7 +35,11 @@ HEADLINE = [
     "tpch_asof_latest_order",
     "tpch_events_session",
     "llm_dedup_minhash_lsh",
-    "llm_ngram_jaccard",
+    # prefix-filtered PPJoin plan — the one you'd run at 100 TB; the
+    # intentionally-quadratic exact twin (llm_ngram_jaccard) stays
+    # registered as its oracle proof but no longer holds the headline
+    # timing slot (round-3 verdict #3)
+    "llm_ngram_jaccard_prefix",
     "llm_ann_brute_topk",
     "llm_text_stats",
     # the two iterative / global-rank plans (round-2 verdict: time them
@@ -95,31 +106,48 @@ def main() -> None:
     # (the shared shingle table, by design) carry over, exactly as they
     # do across queries in steady state.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    times: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+
+    def time_suite(sf_path: str, n_runs: int) -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(n_runs):
+                t0 = time.time()
+                qs[name](spark, sf_path).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            t[name] = round(best, 3)
+        return t
+
+    times = time_suite(sf_dir, runs)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-            }
-        )
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+
+    # second scale point: ~10x key-shift-replicated fixtures, if built
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1"),
     )
+    if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        scale_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SCALE", str(runs)))
+        times_sf1 = time_suite(scale_dir, scale_runs)
+        out["queries_sf1"] = times_sf1
+        out["value_sf1"] = round(sum(times_sf1.values()), 3)
+        out["sf1_lineitem_rows"] = (
+            spark.read.parquet(os.path.join(scale_dir, "lineitem.parquet")).count()
+        )
+
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -175,6 +175,35 @@ def connected_components_star(
     )
 
 
+def oriented_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree-ordered orientation: re-point every undirected edge from
+    its lower-(degree, id) endpoint to its higher one. The lexicographic
+    tie-break on id makes the order total, so every triangle has exactly
+    one "apex" (its (deg,id)-minimal vertex) and the out-degree of any
+    vertex is O(sqrt(m)) — a vertex with out-degree k has k neighbors of
+    degree >= its own >= k, which costs k^2/2 <= m edge endpoints.
+    Split out of ``triangles`` so tests can assert the bound on the
+    exact production orientation (tests/test_scale_stress.py hub graph).
+    Output columns: s, sd (source + its degree), t, td."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ed = (
+        e.join(deg.select("u", F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    fwd = F.col("du") < F.col("dv")
+    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    return ed.select(
+        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd | tie, F.col("du")).otherwise(F.col("dv")).alias("sd"),
+        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd | tie, F.col("dv")).otherwise(F.col("du")).alias("td"),
+    )
+
+
 def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle enumeration with DEGREE-ORDERED orientation
     (Cohen, "Graph Twiddling in a MapReduce World", CiSE'09; the
@@ -193,24 +222,7 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     join); the closing-edge probe joins on the wedge's two endpoints,
     an equi-join AQE can skew-split if residual hotness remains.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    bi = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    # orient each edge from lower (deg, id) to higher (deg, id): the
-    # lexicographic tie-break on id makes the order total, so every
-    # triangle has exactly one "apex" (its (deg,id)-minimal vertex)
-    ed = (
-        e.join(deg.select("u", F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v")
-    )
-    fwd = F.col("du") < F.col("dv")
-    tie = (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    oriented = ed.select(
-        F.when(fwd | tie, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(fwd | tie, F.col("du")).otherwise(F.col("dv")).alias("sd"),
-        F.when(fwd | tie, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(fwd | tie, F.col("dv")).otherwise(F.col("du")).alias("td"),
-    )
+    oriented = oriented_edges(edges, src, dst)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     lex = (F.col("e1.td") < F.col("e2.td")) | (
         (F.col("e1.td") == F.col("e2.td")) & (F.col("e1.t") < F.col("e2.t"))

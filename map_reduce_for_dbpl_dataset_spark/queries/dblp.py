@@ -36,13 +36,16 @@ from ..operators.topk import top_k_global, top_k_per_group
 from ..sources.parquet import PUBLICATIONS_PATH, publications
 
 
-def _pubs_with_venue(spark: SparkSession) -> DataFrame:
+def _pubs_with_venue(spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
     """publications + derived venue + coalesced author list.
 
     The projection is narrow (no shuffle); Catalyst prunes unread
-    columns out of the parquet scan.
+    columns out of the parquet scan. sf_dir is honored only when it
+    carries its own publications.parquet (the inflated scaling
+    fixtures); the driver sf dirs fall through to the committed
+    fixture.
     """
-    return publications(spark).withColumns(
+    return publications(spark, sf_dir=sf_dir).withColumns(
         {"venue": venue_expr(), "aus": authors_or_editors()}
     )
 
@@ -82,7 +85,7 @@ def q1_top_authors_per_venue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism; composite string keys become grouping columns.
     """
     counts = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .select("venue", F.explode("aus").alias("author"))
         .filter((F.col("venue") != "") & (F.col("author") != ""))
         .groupBy("venue", "author")
@@ -126,7 +129,7 @@ def q2_consecutive_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect, state is one counter per (author, island).
     """
     pubs = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .filter(F.col("year").isNotNull())
         .select(F.explode("aus").alias("author"), "year")
         .filter(F.col("author") != "")
@@ -167,7 +170,7 @@ def q2_literal_dupreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation is visible on the fixture (rows differ from
     dblp_q2_consecutive_years)."""
     pubs = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .filter(F.col("year").isNotNull())
         .select(F.explode("aus").alias("author"), "year")
         .filter(F.col("author") != "")
@@ -213,7 +216,7 @@ def q5_literal_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     double sort :436-443). Preserved here as the no-limit variant of
     the intended query."""
     weighted = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .filter(F.size("aus") > 0)
         .select(F.explode("aus").alias("author"), F.size("aus").alias("w"))
         .filter(F.col("author") != "")
@@ -245,7 +248,7 @@ def q3_solo_titles_per_venue(spark: SparkSession, sf_dir: str) -> DataFrame:
     titles first so the result is deterministic (SURVEY.md §7).
     """
     return (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .filter(
             (F.size("aus") == 1)
             & (F.col("venue") != "")
@@ -277,7 +280,7 @@ def q4_max_authors_per_venue(spark: SparkSession, sf_dir: str) -> DataFrame:
     window max with partial aggregation map-side.
     """
     pubs = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .withColumn("n_authors", F.size("aus"))
         .filter(
             (F.col("venue") != "")
@@ -317,7 +320,7 @@ def q5_top_coauthor_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — no global sort.
     """
     weighted = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .filter(F.size("aus") > 0)
         .select(
             F.explode("aus").alias("author"),
@@ -357,7 +360,7 @@ def q6_solo_only_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference intended, correct at any parallelism.
     """
     per_author = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .filter(F.size("aus") > 0)
         .select(
             F.explode("aus").alias("author"),
@@ -482,7 +485,7 @@ def coauthor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     split by AQE.
     """
     ex = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .select(F.col("key").alias("pub"), F.explode(F.array_distinct("aus")).alias("a"))
         .filter(F.col("a") != "")
     )
@@ -525,14 +528,16 @@ def coauthor_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.graph import connected_components
 
-    edges, vertices = _coauthor_graph(spark)
+    edges, vertices = _coauthor_graph(spark, sf_dir)
     labels = connected_components(edges, vertices)
     return labels.select(F.col("node").alias("author"), "component")
 
 
-def _coauthor_graph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+def _coauthor_graph(
+    spark: SparkSession, sf_dir: str | None = None
+) -> tuple[DataFrame, DataFrame]:
     ex = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .select(F.col("key").alias("pub"), F.explode(F.array_distinct("aus")).alias("a"))
         .filter(F.col("a") != "")
     )
@@ -558,7 +563,7 @@ def coauthor_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     graphs."""
     from ..operators.graph import connected_components_star
 
-    edges, vertices = _coauthor_graph(spark)
+    edges, vertices = _coauthor_graph(spark, sf_dir)
     labels = connected_components_star(edges, vertices)
     return labels.select(F.col("node").alias("author"), "component")
 
@@ -578,7 +583,7 @@ def coauthor_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly lossless and duplicate-free."""
     from ..operators.graph import triangles
 
-    edges, _ = _coauthor_graph(spark)
+    edges, _ = _coauthor_graph(spark, sf_dir)
     tri = triangles(edges)
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("author"))
@@ -656,7 +661,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed at fixed small iteration counts; coauthor_components shows
     the localCheckpoint pattern for unbounded fixpoints)."""
     ex = (
-        _pubs_with_venue(spark)
+        _pubs_with_venue(spark, sf_dir)
         .select(F.col("key").alias("pub"), F.explode(F.array_distinct("aus")).alias("a"))
         .filter(F.col("a") != "")
     )

@@ -106,9 +106,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
-def publications(spark: SparkSession, path: str | None = None) -> DataFrame:
+def publications(
+    spark: SparkSession, path: str | None = None, sf_dir: str | None = None
+) -> DataFrame:
     """The DBLP-shaped publications table (FIXTURES.md §A): one row per
     publication record — the reference's one-XML-element-per-line model
     (dblpXMLparser.scala:96) flattened to typed columns, with repeated
-    XML fields as array<string>."""
+    XML fields as array<string>.
+
+    If ``sf_dir`` contains its own ``publications.parquet`` (the
+    inflated scaling fixtures from tools/make_scale_fixtures.py do),
+    that file wins — so the bench's second scale point actually scales
+    the DBLP queries. The driver sf dirs have no such file and fall
+    through to the committed fixture, unchanged."""
+    if path is None and sf_dir is not None:
+        scaled = os.path.join(sf_dir, "publications.parquet")
+        if os.path.exists(scaled):
+            path = scaled
     return spark.read.parquet(path or PUBLICATIONS_PATH)

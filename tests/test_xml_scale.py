@@ -23,6 +23,13 @@ from map_reduce_for_dbpl_dataset_spark.sources.xml import (
 
 N_REPS = 75  # 75 x 1.3 MB fixture ~= 98 MB, 331,425 records
 
+# Opt-in ~1 GB variant (round-3 verdict #8): within 2.5x of the
+# reference's actual 2.5 GB dblp.xml ingest (dblpXMLparser.scala:24).
+# Run manually: SPARK_GRAFT_XML_GB=1 pytest tests/test_xml_scale.py -m slow
+_GB_MODE = os.environ.get("SPARK_GRAFT_XML_GB") == "1"
+if _GB_MODE:
+    N_REPS = 750  # ~980 MB, 3,314,250 records
+
 
 @pytest.mark.slow
 def test_xml_ingest_100mb_single_file_splits(spark, tmp_path_factory):
@@ -38,7 +45,8 @@ def test_xml_ingest_100mb_single_file_splits(spark, tmp_path_factory):
             for ln in base_lines:
                 f.write(key_re.sub(prefix, ln, count=1) + "\n")
     size = os.path.getsize(big)
-    assert size > 90 * 1024 * 1024  # genuinely ~100 MB, one file
+    floor = 900 if _GB_MODE else 90
+    assert size > floor * 1024 * 1024  # genuinely at-scale, ONE file
 
     conf = spark.conf
     old = conf.get("spark.sql.files.maxPartitionBytes", None)
