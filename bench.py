@@ -133,11 +133,25 @@ def main() -> None:
         "sf": sf_val,
     }
 
-    # second scale point: ~10x key-shift-replicated fixtures, if built
+    # second scale point: ~10x key-shift-replicated fixtures (built on
+    # first use — ~30 s, one-time per workspace, gitignored)
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1"),
     )
+    if not os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        import subprocess
+
+        print(f"building scale fixtures at {scale_dir} ...", file=sys.stderr)
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools",
+                          "make_scale_fixtures.py"),
+             "--out", scale_dir],
+            capture_output=True,
+        )
+        if r.returncode != 0:  # keep the primary bench result usable
+            print(r.stderr.decode()[-2000:], file=sys.stderr)
     if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
         scale_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SCALE", str(runs)))
         times_sf1 = time_suite(scale_dir, scale_runs)

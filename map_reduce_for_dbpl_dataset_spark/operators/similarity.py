@@ -119,6 +119,78 @@ def embedding_near_pairs(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    threshold: float = 0.95,
+    scale: int = 1000,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup — Abbas, Tirumala, Simig,
+    Ganguli, Morcos, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540): cluster the
+    embedding space with a coarse codebook, then drop all but one
+    member of every within-cluster group of semantic near-duplicates
+    (pairwise cosine >= threshold).
+
+    Plan shape at 100 TB — the reason SemDeDup clusters at all:
+    - assignment is a BROADCAST join against the K-row centroid table
+      (here the centroid rows are seeded by id; production trains them
+      with operators/kmeans.py — same table shape), argmax cosine with
+      ties to the lower cell. The corpus never shuffles for this.
+    - the near-dup search shuffles once on cluster id, and the
+      pairwise work is sum over clusters of |cluster|^2 — the whole
+      point vs the corpus^2 all-pairs scan. Hot clusters are ordinary
+      equi-join skew (AQE-splittable); more centroids shrink clusters.
+    - keep rule is deterministic: a row is dropped iff a LOWER-id row
+      of the same cluster sits within the cosine threshold (the
+      paper keeps one representative per epsilon-group; lowest-id is
+      the portable tie-break the oracle can replay).
+
+    Determinism: quantized integer dot/norm (functions/vectors.py),
+    cosine as a single double expression — bit-identical to DuckDB.
+    Output: (id_col, cluster, kept)."""
+    c = (
+        corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col), scale).alias("_q"))
+        .withColumn("_n2", norm2_q(F.col("_q")))
+    )
+    cents = c.filter(F.col("_id").isin(list(centroid_ids))).select(
+        F.col("_id").alias("_cell"), F.col("_q").alias("_kq"), F.col("_n2").alias("_kn2")
+    )
+    scored = c.join(F.broadcast(cents)).withColumn(
+        "_cos", cosine_q(dot_q(F.col("_q"), F.col("_kq")), F.col("_n2"), F.col("_kn2"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("_cell"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_q", "_n2", F.col("_cell").alias("cluster"))
+    )
+    lo = assigned.select(
+        "cluster", F.col("_id").alias("_lo"), F.col("_q").alias("_ql"), F.col("_n2").alias("_nl")
+    )
+    hi = assigned.select(
+        "cluster", F.col("_id").alias("_hi"), F.col("_q").alias("_qh"), F.col("_n2").alias("_nh")
+    )
+    dominated = (
+        lo.join(hi, "cluster")
+        .filter(F.col("_lo") < F.col("_hi"))
+        .withColumn(
+            "_pcos", cosine_q(dot_q(F.col("_ql"), F.col("_qh")), F.col("_nl"), F.col("_nh"))
+        )
+        .filter(F.col("_pcos") >= threshold)
+        .select(F.col("_hi").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("_dup", F.lit(1)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col), "cluster", F.col("_dup").isNull().alias("kept")
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

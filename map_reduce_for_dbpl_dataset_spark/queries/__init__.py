@@ -92,8 +92,8 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 1,
     "tpch_window_lag_gap": 1,
     "tpch_window_running_total": 1,
-    # --- round 2 (32 rows; the 10 highest-surface-risk fill the rest
-    # of the round-4 window, the remainder rotate in round 5) ---
+    # --- round 2 (32 rows; the highest-surface-risk ones fill the
+    # rest of the round-4 window, the remainder rotate in round 5) ---
     "llm_ann_brute_topk": 2,
     "llm_ann_ivf": 2,
     "llm_ann_lsh_topk": 2,

@@ -851,3 +851,260 @@ QUERIES["llm_quality_select"] = q_quality_select
 ORACLE_SQL["llm_quality_select"] = SQL_QUALITY_SELECT
 QUERIES["llm_dedup_incremental"] = q_dedup_incremental
 ORACLE_SQL["llm_dedup_incremental"] = SQL_DEDUP_INCREMENTAL
+
+
+# --- semantic dedup (round-4 batch: curation beyond n-gram identity) ----------
+# SemDeDup threshold: the planted near-dups (exact copies cos=1.0,
+# every-4th-halved copies cos~0.97) sit far above it; unrelated fixture
+# vectors top out ~0.51 — a wide deterministic margin on both sides.
+SEMDEDUP_THRESHOLD = 0.9
+SEMDEDUP_CENTROID_IDS = [30, 31, 32, 33]
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the augmented embedding corpus (same deterministic
+    augmentation as llm_dedup_embedding: exact copies at +100000 and
+    every-4th-element-halved copies at +200000 plant near-dups the raw
+    fixture lacks): coarse-cluster by broadcast centroid assignment,
+    then keep one representative per within-cluster epsilon-group
+    (operators/similarity.py semdedup). Output is the full labeling
+    (vec_id, cluster, kept) so the oracle checks survivors AND drops."""
+    from ..operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = e.filter(F.col("vec_id") < 10)
+    exact = seeds.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    half4 = F.transform(
+        "embedding",
+        lambda x, i: F.when(i % 4 == 0, x.cast("double") * F.lit(0.5)).otherwise(
+            x.cast("double")
+        ),
+    )
+    near = seeds.select((F.col("vec_id") + 200000).alias("vec_id"), half4.alias("embedding"))
+    corpus = e.unionAll(exact).unionAll(near)
+    return semdedup(
+        corpus,
+        "vec_id",
+        "embedding",
+        SEMDEDUP_CENTROID_IDS,
+        threshold=SEMDEDUP_THRESHOLD,
+    ).orderBy("vec_id")
+
+
+def _semdedup_sql() -> str:
+    ids = ", ".join(str(i) for i in SEMDEDUP_CENTROID_IDS)
+    dot = "CAST(list_sum([{a}.q[i] * {b}.q[i] for i in range(1, %d)]) AS DOUBLE)" % (
+        EMB_DIM + 1
+    )
+    cos = (
+        dot + " / sqrt(CAST({a}.n2 AS DOUBLE) * CAST({b}.n2 AS DOUBLE))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 100000, emb FROM base WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 200000,
+         [CASE WHEN (i - 1) % 4 = 0 THEN emb[i] * 0.5 ELSE emb[i] END
+          for i in range(1, {EMB_DIM + 1})]
+  FROM base WHERE vec_id < 10
+),
+q0 AS (SELECT vec_id, [CAST(floor(x * 1000) AS BIGINT) for x in emb] AS q FROM corpus),
+n AS (SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2 FROM q0),
+cents AS (SELECT vec_id AS cell, q, n2 FROM n WHERE vec_id IN ({ids})),
+assigned AS (
+  SELECT vec_id, q, n2, cell AS cluster FROM (
+    SELECT a.vec_id, a.q, a.n2, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {cos.format(a='a', b='c')} DESC, c.cell ASC) AS rn
+    FROM n a CROSS JOIN (SELECT cell, q, n2 FROM cents) c)
+  WHERE rn = 1
+),
+dominated AS (
+  SELECT DISTINCT hi.vec_id
+  FROM assigned lo JOIN assigned hi
+    ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+  WHERE {cos.format(a='lo', b='hi')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+FROM assigned a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
+# --- overlapping chunking (RAG / context-window prep) -------------------------
+# Fixed token windows with overlap: the standard retrieval-corpus and
+# long-document training prep (chunk size CHUNK_W tokens, stride
+# CHUNK_S, so consecutive chunks share CHUNK_W - CHUNK_S tokens).
+CHUNK_W = 32
+CHUNK_S = 24
+
+
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping CHUNK_W-token windows at
+    stride CHUNK_S. Pure narrow plan: tokenize, compute the start
+    sequence, transform+posexplode — zero shuffles, no UDF; the chunk
+    text never leaves the executor (only its 60-bit fingerprint and
+    token count are emitted). At 100 TB this is the map stage feeding
+    an embedding or packing pass; Catalyst prunes the scan to (doc_id,
+    text)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
+        F.ceil((n - CHUNK_W).cast("double") / F.lit(float(CHUNK_S))).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * CHUNK_S + 1, CHUNK_W)),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.split(F.col("chunk"), " ")).alias("n_chunk_tokens"),
+            hash60(F.col("chunk")).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+SQL_CHUNK_OVERLAP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+nc AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {CHUNK_W} THEN 1
+              ELSE CAST(ceil((len(t) - {CHUNK_W})::DOUBLE / {CHUNK_S}.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_id,
+         array_to_string(t[(u.i * {CHUNK_S} + 1):(u.i * {CHUNK_S} + {CHUNK_W})], ' ') AS chunk
+  FROM nc CROSS JOIN LATERAL (SELECT unnest(range(n_chunks)) AS i) u
+)
+SELECT doc_id, chunk_id,
+       len(string_split(chunk, ' ')) AS n_chunk_tokens,
+       CAST(('0x' || substr(md5(chunk), 1, 15)) AS BIGINT) AS chunk_fp
+FROM chunks ORDER BY doc_id, chunk_id
+"""
+
+
+# --- temperature-weighted mixture sampling ------------------------------------
+# Deterministic multinomial allocation: per-source targets proportional
+# to n_s^alpha (alpha=0.5 — the standard temperature that upweights
+# small sources vs natural sampling), apportioned exactly by largest
+# remainder, then filled by hash-rank. Complements llm_domain_mixture
+# (which reports the weights) and llm_quality_select (threshold
+# selection) with the SELECTION step a mixture plan actually executes.
+MIX_TOTAL = 200
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select MIX_TOTAL docs across sources with weight sqrt(n_s),
+    exact largest-remainder apportionment, deterministic hash-rank
+    fill. Integer-exact end to end: weights are floor(sqrt(n)) (IEEE
+    sqrt is correctly rounded, so floor(sqrt) of a BIGINT is portable),
+    base/remainder are pure integer arithmetic, and the per-source
+    fill ranks by (hash60(doc_id), doc_id).
+
+    Scale: the apportionment runs over ONE row per source — the
+    unpartitioned windows there are bounded by the source vocabulary
+    (dozens), never the corpus, and sit behind a tiny aggregate. The
+    corpus-side work is one broadcast join of the K-row target table
+    plus one per-source window rank (shuffle on source; skew = a hot
+    source, AQE-splittable)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    wall = Window.partitionBy()  # K source rows, bounded; see docstring
+    alloc = (
+        counts.withColumn("fw", F.floor(F.sqrt(F.col("n_total").cast("double"))).cast("long"))
+        .withColumn("tot_fw", F.sum("fw").over(wall))
+        .withColumn("base", F.expr(f"({MIX_TOTAL} * fw) div tot_fw"))
+        .withColumn("rem", F.expr(f"({MIX_TOTAL} * fw) % tot_fw"))
+        .withColumn("deficit", F.lit(MIX_TOTAL) - F.sum("base").over(wall))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("rem"), F.asc("source"))
+            ),
+        )
+        .withColumn(
+            "target",
+            F.col("base") + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0),
+        )
+        .select("source", "n_total", "target")
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "sample_rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                hash60(F.col("doc_id").cast("string")), F.asc("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("sample_rk") <= F.col("target"))
+        .select("source", "doc_id", "sample_rk", "target", "n_total")
+        .orderBy("source", "sample_rk")
+    )
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH counts AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+alloc0 AS (
+  SELECT source, n_total,
+         CAST(floor(sqrt(n_total::DOUBLE)) AS BIGINT) AS fw
+  FROM counts
+),
+alloc1 AS (
+  SELECT source, n_total, fw,
+         sum(fw) OVER () AS tot_fw
+  FROM alloc0
+),
+alloc2 AS (
+  SELECT source, n_total,
+         ({MIX_TOTAL} * fw) // tot_fw AS base,
+         ({MIX_TOTAL} * fw) % tot_fw AS rem
+  FROM alloc1
+),
+alloc AS (
+  -- CAST: base is HUGEINT after the windowed sum and DuckDB's Python
+  -- client surfaces HUGEINT as float, which would break the hash match
+  SELECT source, n_total,
+         CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+                      <= {MIX_TOTAL} - sum(base) OVER () THEN 1 ELSE 0 END AS BIGINT) AS target
+  FROM alloc2
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                    doc_id ASC) AS sample_rk
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.sample_rk, a.target, a.n_total
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.sample_rk <= a.target
+ORDER BY r.source, r.sample_rk
+"""
+
+
+QUERIES["llm_semdedup"] = q_semdedup
+ORACLE_SQL["llm_semdedup"] = _semdedup_sql()
+QUERIES["llm_chunk_overlap"] = q_chunk_overlap
+ORACLE_SQL["llm_chunk_overlap"] = SQL_CHUNK_OVERLAP
+QUERIES["llm_mixture_sample"] = q_mixture_sample
+ORACLE_SQL["llm_mixture_sample"] = SQL_MIXTURE_SAMPLE

@@ -110,7 +110,7 @@ def test_coauthor_components_small_graph(spark):
         "venue", F.lit("v")
     )
     orig = dblp_mod._pubs_with_venue
-    dblp_mod._pubs_with_venue = lambda s: df
+    dblp_mod._pubs_with_venue = lambda s, sf_dir=None: df
     try:
         out = {
             r["author"]: r["component"]

@@ -161,6 +161,25 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("threshold broadcast join", "BroadcastHashJoin"),
         ("no single-partition window", "!Exchange SinglePartition"),
     ],
+    "llm_semdedup": [
+        # K-row centroid table joined keyless under broadcast (same
+        # intended plan as kmeans assignment); the near-dup pair join
+        # must stay an equi-join on cluster id
+        ("centroid table broadcast", "BroadcastNestedLoopJoin"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "llm_chunk_overlap": [
+        # narrow map stage: the scan reads exactly (doc_id, text) and
+        # nothing shuffles before the presentation sort
+        ("column-pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_mixture_sample": [
+        # the K-row apportionment table returns via broadcast; source
+        # counts collapse map-side before the tiny window stage
+        ("target table broadcast", "BroadcastHashJoin"),
+        ("source counts partial-aggregated", "partial_count"),
+    ],
 }
 
 
