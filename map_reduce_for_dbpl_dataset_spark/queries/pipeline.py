@@ -1108,3 +1108,219 @@ QUERIES["llm_chunk_overlap"] = q_chunk_overlap
 ORACLE_SQL["llm_chunk_overlap"] = SQL_CHUNK_OVERLAP
 QUERIES["llm_mixture_sample"] = q_mixture_sample
 ORACLE_SQL["llm_mixture_sample"] = SQL_MIXTURE_SAMPLE
+
+
+# --- exact substring-span dedup (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL 2022: ExactSubstr) ------------------
+# Their suffix-array formulation is single-machine; the distributed
+# re-expression is a K-token shingle-key join + gaps-and-islands merge:
+# two docs share a >= K-token span iff they share a K-shingle, and
+# runs of consecutive matching positions at the same diagonal
+# (p_a - p_b) reconstruct the maximal spans exactly.
+SPAN_K = 16
+SPAN_DF_CAP = 64  # drop shingle keys seen in more docs (boilerplate guard)
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared token spans (>= SPAN_K tokens) per document pair:
+
+    1. K-shingle each doc WITH POSITION (narrow: posexplode of the
+       zip_with shingle array), key by hash60 — shuffles carry 8-byte
+       keys, never span text;
+    2. cap shingle document-frequency at SPAN_DF_CAP (two-phase
+       distinct count, same guard as winnowing's df cap) — a
+       boilerplate shingle shared by the whole corpus would otherwise
+       produce a df^2 join blowup;
+    3. equi-join positions across docs (id_a < id_b), then merge
+       consecutive positions per (pair, diagonal) into maximal spans
+       with one gaps-and-islands window — run_len + K - 1 tokens.
+
+    Output per pair: span count, longest span, total matched
+    positions. At 100 TB: one explode, the key join (AQE-splittable),
+    one window keyed by (pair, diagonal) — state bounded per pair."""
+    toks = tokens(F.col("text"))
+    d = load_table(spark, sf_dir, "documents")
+    shingled = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(toks) - SPAN_K, F.lit(0)),
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SPAN_K)),
+                ),
+                lambda s: F.size(F.split(s, " ")) >= SPAN_K,
+            )
+        ).alias("p", "sh"),
+    ).select("doc_id", "p", hash60(F.col("sh")).alias("sk"))
+    sk_df = shingled.groupBy("sk").agg(F.count_distinct("doc_id").alias("df"))
+    pos = shingled.join(
+        sk_df.filter(F.col("df") <= SPAN_DF_CAP).select("sk"), "sk"
+    )
+    pairs = (
+        pos.select(F.col("doc_id").alias("id_a"), F.col("p").alias("p_a"), "sk")
+        .join(
+            pos.select(F.col("doc_id").alias("id_b"), F.col("p").alias("p_b"), "sk"),
+            "sk",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "p_a", (F.col("p_a") - F.col("p_b")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("p_a")
+    spans = (
+        pairs.withColumn("island", F.col("p_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            (F.max("run_len") + SPAN_K - 1).alias("max_span_tokens"),
+            F.sum("run_len").alias("n_matched_positions"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+SQL_SUBSTRING_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id, u.i - 1 AS p,
+         CAST(('0x' || substr(md5(array_to_string(t[u.i:u.i + {SPAN_K} - 1], ' ')), 1, 15)) AS BIGINT) AS sk
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(range(1, greatest(len(t) - {SPAN_K}, 0) + 2)) AS i) u
+  WHERE len(t[u.i:u.i + {SPAN_K} - 1]) >= {SPAN_K}
+),
+kept AS (
+  SELECT sk FROM (SELECT sk, count(DISTINCT doc_id) AS df FROM shingled GROUP BY sk)
+  WHERE df <= {SPAN_DF_CAP}
+),
+pos AS (SELECT s.* FROM shingled s JOIN kept USING (sk)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS p_a, a.p - b.p AS diag
+  FROM pos a JOIN pos b ON a.sk = b.sk AND a.doc_id < b.doc_id
+),
+spans AS (
+  SELECT id_a, id_b, diag,
+         p_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY p_a) AS island
+  FROM pairs
+),
+runs AS (
+  SELECT id_a, id_b, diag, island, count(*) AS run_len
+  FROM spans GROUP BY id_a, id_b, diag, island
+)
+SELECT id_a, id_b,
+       count(*) AS n_spans,
+       CAST(max(run_len) + {SPAN_K} - 1 AS BIGINT) AS max_span_tokens,
+       sum(run_len)::BIGINT AS n_matched_positions
+FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b
+"""
+
+
+# --- token-rarity quality score (unigram-LM proxy, integer-exact) ------------
+# Mean corpus-frequency rank of a document's tokens: a deterministic
+# stand-in for unigram log-prob scoring (rank is a monotone transform
+# of frequency, and unlike ln it is integer-exact across engines).
+# The vocabulary ranking reuses the two-pass global rank
+# (operators/global_rank.py) — ranking a 100 TB corpus vocabulary with
+# a bare Window.orderBy would funnel it through one task.
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token-rarity rank: explode tokens, count the
+    vocabulary (partial-agg), globally rank it by (count desc, token
+    asc) via the range-partitioned two-pass rank, join ranks back and
+    aggregate per doc. rarity_micro = sum_rank * 1e6 div n_tokens —
+    pure integer arithmetic end to end."""
+    from ..operators.global_rank import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked, _n = global_row_number(
+        vocab, [F.desc("cnt"), F.asc("tok")], out_col="rank"
+    )
+    return (
+        ex.join(ranked.select("tok", "rank"), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("rank").alias("sum_rank"))
+        .withColumn("rarity_micro", F.expr("(sum_rank * 1000000) div n_tokens"))
+        .select("doc_id", "n_tokens", "sum_rank", "rarity_micro")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_RARITY = """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok),
+ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank FROM vocab
+)
+SELECT doc_id, count(*) AS n_tokens, sum(rank)::BIGINT AS sum_rank,
+       CAST((sum(rank) * 1000000) // count(*) AS BIGINT) AS rarity_micro
+FROM ex JOIN ranked USING (tok)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- deterministic corpus shuffle / shard assignment -------------------------
+# Training-order preparation: every doc gets a (shard, position) under
+# a hash permutation — reproducible across reruns and engines, unlike
+# rand()-seeded orderings. N_SHARDS is small here; at 100 TB it is the
+# output-file count (tens of thousands), so each per-shard window
+# stays bounded at corpus/N_SHARDS rows.
+N_SHARDS = 8
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-permutation shuffle: shard = hash60(doc_id) mod N_SHARDS,
+    position = rank within shard by (hash, doc_id). One shuffle on
+    shard id; the per-shard window is the write-side ordering of a
+    sharded training-data export (pairs with the ordered sink,
+    sinks_queries.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string"))
+    return (
+        d.select("doc_id", h.alias("_h"))
+        .withColumn("shard", F.pmod(F.col("_h"), F.lit(N_SHARDS)).cast("int"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy(F.asc("_h"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+SQL_CORPUS_SHUFFLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS _h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(_h % {N_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY _h % {N_SHARDS} ORDER BY _h ASC, doc_id ASC) AS INTEGER) AS pos
+FROM h ORDER BY shard, pos
+"""
+
+
+QUERIES["llm_substring_spans"] = q_substring_spans
+ORACLE_SQL["llm_substring_spans"] = SQL_SUBSTRING_SPANS
+QUERIES["llm_token_rarity"] = q_token_rarity
+ORACLE_SQL["llm_token_rarity"] = SQL_TOKEN_RARITY
+QUERIES["llm_corpus_shuffle"] = q_corpus_shuffle
+ORACLE_SQL["llm_corpus_shuffle"] = SQL_CORPUS_SHUFFLE

@@ -192,3 +192,83 @@ def test_mixture_sample_apportionment(spark, sf_dir):
     for r in per_src:
         exact = MIX_TOTAL * math.isqrt(r["n_total"]) / tot_fw
         assert abs(r["target"] - exact) <= 1
+
+
+def test_substring_spans_known_overlap(spark, tmp_path):
+    """Two synthetic docs sharing one exact 20-token run (and nothing
+    else >= SPAN_K) must yield exactly one span of exactly 20 tokens;
+    a third unrelated doc must produce no pair."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        SPAN_K,
+        q_substring_spans,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(20))
+    docs = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"zeta {shared} eta theta iota"),
+        (3, " ".join(f"other{i}" for i in range(40))),
+    ]
+    out_dir = tmp_path / "docs"
+    out_dir.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["t"] * 3, pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }),
+        out_dir / "documents.parquet",
+    )
+    rows = q_substring_spans(spark, str(out_dir)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["n_spans"] == 1
+    assert r["max_span_tokens"] == 20
+    # a 20-token run contains 20 - SPAN_K + 1 matching shingle positions
+    assert r["n_matched_positions"] == 20 - SPAN_K + 1
+
+
+def test_token_rarity_orders_rare_docs_higher(spark, sf_dir):
+    """Rank 1 is the most frequent token, so a doc of common words must
+    score strictly below a doc of hapaxes; spot-check the integer
+    arithmetic on the real fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import q_token_rarity
+
+    out = q_token_rarity(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for r in rows[:50]:
+        assert r["rarity_micro"] == (r["sum_rank"] * 1_000_000) // r["n_tokens"]
+        assert r["sum_rank"] >= r["n_tokens"]  # every rank >= 1
+
+
+def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
+    """Every doc appears exactly once; positions are dense 1..|shard|
+    per shard; the assignment is stable across reruns."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        N_SHARDS,
+        q_corpus_shuffle,
+    )
+
+    a = q_corpus_shuffle(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(a) == n_docs
+    assert len({r["doc_id"] for r in a}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(N_SHARDS))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    b = q_corpus_shuffle(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -180,6 +180,23 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("target table broadcast", "BroadcastHashJoin"),
         ("source counts partial-aggregated", "partial_count"),
     ],
+    "llm_substring_spans": [
+        # shingle-position join must stay an equi-join on the 60-bit
+        # key, with the boilerplate guard as a two-phase distinct count
+        ("no cartesian", "!CartesianProduct"),
+        ("df cap via two-phase distinct count", "partial_count(distinct"),
+        ("span merge via (pair, diagonal) window", "Window"),
+    ],
+    "llm_token_rarity": [
+        # vocabulary ranking goes through the two-pass global rank —
+        # never a single-partition window over the vocab
+        ("no single-partition window", "!Exchange SinglePartition"),
+        ("vocab counts partial-aggregated", "partial_count"),
+    ],
+    "llm_corpus_shuffle": [
+        # per-shard ordering only: the window is keyed by shard id
+        ("no single-partition window", "!Exchange SinglePartition"),
+    ],
 }
 
 
