@@ -189,7 +189,13 @@ _LAST_CHECKED: dict[str, int] = {
 # re-verified green against its oracles under driver-faithful local
 # emulation this round; the r1-checked members are in the window
 # regardless.
-_CHANGED: list[str] = []
+_CHANGED: list[str] = [
+    # round 4: PPJoin internals re-keyed on xxhash64(shingle) and the
+    # size window replaced by a narrow expression — output-identical
+    # (oracle-proven locally) but a different physical plan than the
+    # r2 green row certified
+    "llm_ngram_jaccard_prefix",
+]
 
 
 def _surface_risk(n: str) -> int:

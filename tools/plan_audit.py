@@ -197,6 +197,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         # per-shard ordering only: the window is keyed by shard id
         ("no single-partition window", "!Exchange SinglePartition"),
     ],
+    "llm_ngram_jaccard_prefix": [
+        # PPJoin internals: every exchange/sort keys on the 8-byte
+        # shingle hash, never the shingle string; candidates stay an
+        # equi-join
+        ("shuffles key on 64-bit shingle hash", "xxhash64"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
 }
 
 
