@@ -70,3 +70,48 @@ def test_q1_counts_match_direct_recount(spark, sf_dir):
         F.col("count").isNull() | (F.col("count") != F.col("n_pubs"))
     ).count()
     assert bad == 0
+
+
+def test_ppjoin_filters_lossless_vs_naive(spark):
+    """The PPJoin prefix/length/positional filters are exact-theory
+    prunes — on a seeded random corpus engineered to put many pairs
+    near the threshold, the filtered join must return EXACTLY the
+    naive all-pairs join's result (ids and jaccard values)."""
+    import random
+
+    from map_reduce_for_dbpl_dataset_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    base_sets = []
+    for d in range(30):
+        if base_sets and rng.random() < 0.5:
+            # perturb an earlier doc: drop/add a few shingles so the
+            # pair's jaccard lands near the 0.8 boundary
+            src = list(rng.choice(base_sets))
+            k = rng.randint(1, 4)
+            for _ in range(k):
+                if rng.random() < 0.5 and len(src) > 5:
+                    src.pop(rng.randrange(len(src)))
+                else:
+                    src.append(rng.choice(vocab) + f"x{rng.randint(0, 9)}")
+            sset = src
+        else:
+            sset = [rng.choice(vocab) + f"s{rng.randint(0, 99)}" for _ in range(rng.randint(8, 25))]
+        base_sets.append(sset)
+        rows.append((d, sset))
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    def norm(out):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in out.collect()
+        )
+
+    naive = norm(ngram_jaccard_pairs(df, "doc_id", "shingles", threshold=0.8))
+    pp = norm(ngram_jaccard_pairs_prefix(df, "doc_id", "shingles", threshold=0.8))
+    assert len(naive) > 0  # the perturbation must actually create pairs
+    assert pp == naive
