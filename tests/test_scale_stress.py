@@ -268,3 +268,101 @@ def test_lsh_candidate_recall_floor(spark):
     # 0.99 at J=0.9; the planted near-dups sit high enough that the
     # fixed-seed measured recall clears 0.9 with margin
     assert recall >= 0.9, f"LSH candidate recall {recall:.3f} < 0.9 ({n_found}/{n_exact})"
+
+
+# --- mixture apportionment under Zipfian source skew ------------------------
+
+
+@pytest.mark.slow
+def test_mixture_sample_zipf_sources(spark, tmp_path_factory):
+    """One source holds 90% of a 100k-doc corpus, six sources split the
+    rest. sqrt-temperature apportionment must still hand out exactly
+    MIX_TOTAL slots, keep every target within 1 of its exact
+    real-valued share (largest remainder), and upweight the small
+    sources vs natural sampling."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        MIX_TOTAL,
+        q_mixture_sample,
+    )
+
+    n = 100_000
+    srcs = ["big"] * (n * 9 // 10)
+    rest = n - len(srcs)
+    for i in range(rest):
+        srcs.append(f"small{i % 6}")
+    out_dir = tmp_path_factory.mktemp("zipfmix")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }),
+        f"{out_dir}/documents.parquet",
+    )
+    per = {
+        r["source"]: (r["n_sel"], r["target"], r["n_total"])
+        for r in q_mixture_sample(spark, str(out_dir))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sel"),
+            F.max("target").alias("target"),
+            F.max("n_total").alias("n_total"),
+        )
+        .collect()
+    }
+    assert sum(v[0] for v in per.values()) == MIX_TOTAL
+    tot_fw = sum(math.isqrt(v[2]) for v in per.values())
+    for src, (n_sel, target, n_total) in per.items():
+        assert n_sel == target
+        assert abs(target - MIX_TOTAL * math.isqrt(n_total) / tot_fw) <= 1
+    # temperature upweights the tail: the hot source's share of the
+    # sample must sit well below its 90% share of the corpus
+    # (sqrt share here: 300/(300+6*40) ~ 0.56)
+    assert per["big"][1] / MIX_TOTAL < 0.6
+
+
+# --- substring spans under corpus-wide boilerplate --------------------------
+
+
+@pytest.mark.slow
+def test_substring_spans_df_cap_kills_boilerplate(spark, tmp_path_factory):
+    """500 docs all embed the SAME 24-token boilerplate sentence (a
+    shingle shared corpus-wide -> naive join cost df^2 = 250k per
+    position); unique filler isolates every other shingle. With the df
+    cap the operator must return NO pairs (the only shared spans are
+    boilerplate) instead of 124,750 boilerplate pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        SPAN_DF_CAP,
+        q_substring_spans,
+    )
+
+    n = 500
+    boiler = " ".join(f"legal{i}" for i in range(24))
+    texts = [
+        f"{' '.join(f'u{d}w{j}' for j in range(20))} {boiler} "
+        f"{' '.join(f'u{d}v{j}' for j in range(20))}"
+        for d in range(n)
+    ]
+    out_dir = tmp_path_factory.mktemp("boiler")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["t"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }),
+        f"{out_dir}/documents.parquet",
+    )
+    assert n > SPAN_DF_CAP  # the cap must actually bind
+    assert q_substring_spans(spark, str(out_dir)).count() == 0
