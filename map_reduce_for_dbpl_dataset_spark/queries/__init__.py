@@ -47,53 +47,14 @@ from . import dblp, llm, pipeline, sinks_queries, streaming_queries, tpch
 _FAMILIES = (dblp, tpch, llm, pipeline, streaming_queries, sinks_queries)
 
 # Last round in which the grading driver recorded a green CORRECTNESS
-# row for each query (union of CORRECTNESS_r01/02/03.json — all rows in
+# row for each query (union of CORRECTNESS_r01..r04.json — all rows in
 # each file were green at that round's check or fixed-and-rechecked in
 # a later one).  Queries absent from this map have never been driver
 # checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 1 (stalest: 39 rows, all in the round-4 window) ---
-    "dblp_coauthor_components": 1,
-    "dblp_coauthor_pairs": 1,
-    "dblp_q1_top_authors_per_venue": 1,
-    "dblp_q2_consecutive_years": 1,
-    "dblp_q2_literal_dupreset": 1,
-    "dblp_q3_solo_titles_per_venue": 1,
-    "dblp_q4_max_authors_per_venue": 1,
-    "tpch_asof_latest_order": 1,
-    "tpch_bucketed_join": 1,
-    "tpch_case_tiers": 1,
-    "tpch_cube_lineitem": 1,
-    "tpch_distinct_agg": 1,
-    "tpch_events_session": 1,
-    "tpch_events_sliding": 1,
-    "tpch_events_tumbling": 1,
-    "tpch_grouping_sets": 1,
-    "tpch_join_anti": 1,
-    "tpch_join_full_outer": 1,
-    "tpch_join_left_order_counts": 1,
-    "tpch_join_nonequi": 1,
-    "tpch_join_range_bands": 1,
-    "tpch_join_semi": 1,
-    "tpch_map_ops": 1,
-    "tpch_null_semantics": 1,
-    "tpch_pivot_status": 1,
-    "tpch_pricing_summary": 1,
-    "tpch_revenue_by_nation": 1,
-    "tpch_rollup_orders": 1,
-    "tpch_scalar_date": 1,
-    "tpch_scalar_math": 1,
-    "tpch_scalar_string": 1,
-    "tpch_scan_filter_project": 1,
-    "tpch_set_ops_nations": 1,
-    "tpch_stats_agg": 1,
-    "tpch_subquery_correlated": 1,
-    "tpch_subquery_in": 1,
-    "tpch_top3_orders_per_cust": 1,
-    "tpch_window_lag_gap": 1,
-    "tpch_window_running_total": 1,
-    # --- round 2 (32 rows; the highest-surface-risk ones fill the
-    # rest of the round-4 window, the remainder rotate in round 5) ---
+    # --- round 2 (stalest: 28 rows — the llm expression/ANN/dedup
+    # family and the five sink queries — these fill the round-5 window
+    # behind any new queries) ---
     "llm_ann_brute_topk": 2,
     "llm_ann_ivf": 2,
     "llm_ann_lsh_topk": 2,
@@ -110,7 +71,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_multimodal_features": 2,
     "llm_multimodal_frames": 2,
     "llm_ngram_jaccard": 2,
-    "llm_ngram_jaccard_prefix": 2,
     "llm_pii_scrub": 2,
     "llm_quality_pandas_udf": 2,
     "llm_sequence_pack": 2,
@@ -118,15 +78,12 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_tfidf_top_terms": 2,
     "llm_token_count_arrow": 2,
     "llm_zscore_grouped_map": 2,
-    "src_python_datasource": 2,
-    "src_python_datasource_pruned": 2,
-    "stream_foreachbatch_sink": 2,
     "tpch_sink_csv_roundtrip": 2,
     "tpch_sink_json_roundtrip": 2,
     "tpch_sink_orc_roundtrip": 2,
     "tpch_sink_partitioned_parquet": 2,
     "tpch_sink_text_ordered": 2,
-    # --- round 3 (50 rows, freshest) ---
+    # --- round 3 (50 rows) ---
     "dblp_coauthor_components_star": 3,
     "dblp_coauthor_triangles": 3,
     "dblp_pagerank": 3,
@@ -177,23 +134,67 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_window_ntile": 3,
     "tpch_window_range_frame": 3,
     "tpch_zorder_range_scan": 3,
+    # --- round 4 (50 rows, freshest: the 39 round-1-stale re-checks,
+    # the re-certified-after-change PPJoin row, the 4 surface-risk
+    # round-2 rows, and the 7 never-before-checked queries) ---
+    "dblp_coauthor_components": 4,
+    "dblp_coauthor_pairs": 4,
+    "dblp_q1_top_authors_per_venue": 4,
+    "dblp_q2_consecutive_years": 4,
+    "dblp_q2_literal_dupreset": 4,
+    "dblp_q3_solo_titles_per_venue": 4,
+    "dblp_q4_max_authors_per_venue": 4,
+    "llm_chunk_overlap": 4,
+    "llm_corpus_shuffle": 4,
+    "llm_mixture_sample": 4,
+    "llm_ngram_jaccard_prefix": 4,
+    "llm_semdedup": 4,
+    "llm_substring_spans": 4,
+    "llm_token_rarity": 4,
+    "src_python_datasource": 4,
+    "src_python_datasource_pruned": 4,
+    "stream_foreachbatch_sink": 4,
+    "stream_transform_with_state_gate": 4,
+    "tpch_asof_latest_order": 4,
+    "tpch_bucketed_join": 4,
+    "tpch_case_tiers": 4,
+    "tpch_cube_lineitem": 4,
+    "tpch_distinct_agg": 4,
+    "tpch_events_session": 4,
+    "tpch_events_sliding": 4,
+    "tpch_events_tumbling": 4,
+    "tpch_grouping_sets": 4,
+    "tpch_join_anti": 4,
+    "tpch_join_full_outer": 4,
+    "tpch_join_left_order_counts": 4,
+    "tpch_join_nonequi": 4,
+    "tpch_join_range_bands": 4,
+    "tpch_join_semi": 4,
+    "tpch_map_ops": 4,
+    "tpch_null_semantics": 4,
+    "tpch_pivot_status": 4,
+    "tpch_pricing_summary": 4,
+    "tpch_revenue_by_nation": 4,
+    "tpch_rollup_orders": 4,
+    "tpch_scalar_date": 4,
+    "tpch_scalar_math": 4,
+    "tpch_scalar_string": 4,
+    "tpch_scan_filter_project": 4,
+    "tpch_set_ops_nations": 4,
+    "tpch_stats_agg": 4,
+    "tpch_subquery_correlated": 4,
+    "tpch_subquery_in": 4,
+    "tpch_top3_orders_per_cust": 4,
+    "tpch_window_lag_gap": 4,
+    "tpch_window_running_total": 4,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Empty for round 4: no checked query's plan or
-# semantics changed this round (new operators are in neither map and
-# therefore already sort first).  The round-4 dblp change — threading
-# sf_dir to publications() so the SCALING bench can point at inflated
-# fixtures — is a fall-through no-op at every driver sf dir (they
-# carry no publications.parquet), and the whole dblp family was
-# re-verified green against its oracles under driver-faithful local
-# emulation this round; the r1-checked members are in the window
-# regardless.
+# green driver row.  Round-5 entries: the PPJoin plan gained the
+# PPJoin+ refinements this round (its r4 green row certified the
+# pre-refinement plan), so it re-enters the window ahead of the
+# staleness tiers.
 _CHANGED: list[str] = [
-    # round 4: PPJoin internals re-keyed on xxhash64(shingle) and the
-    # size window replaced by a narrow expression — output-identical
-    # (oracle-proven locally) but a different physical plan than the
-    # r2 green row certified
     "llm_ngram_jaccard_prefix",
 ]
 
