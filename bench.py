@@ -140,26 +140,41 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "sf1"),
     )
     if not os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        import shutil
         import subprocess
 
         print(f"building scale fixtures at {scale_dir} ...", file=sys.stderr)
+        # Build into a sibling temp dir and rename into place only on
+        # success: a failed build must not leave a partial scale_dir
+        # that this and every later run mistakes for a complete one.
+        tmp_dir = scale_dir.rstrip("/") + ".building"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         r = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools",
                           "make_scale_fixtures.py"),
-             "--out", scale_dir],
+             "--out", tmp_dir],
             capture_output=True,
         )
-        if r.returncode != 0:  # keep the primary bench result usable
+        if r.returncode == 0:
+            os.rename(tmp_dir, scale_dir)
+        else:  # keep the primary bench result usable
             print(r.stderr.decode()[-2000:], file=sys.stderr)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
-        scale_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SCALE", str(runs)))
-        times_sf1 = time_suite(scale_dir, scale_runs)
-        out["queries_sf1"] = times_sf1
-        out["value_sf1"] = round(sum(times_sf1.values()), 3)
-        out["sf1_lineitem_rows"] = (
-            spark.read.parquet(os.path.join(scale_dir, "lineitem.parquet")).count()
-        )
+        try:
+            scale_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SCALE", str(runs)))
+            times_sf1 = time_suite(scale_dir, scale_runs)
+            out["queries_sf1"] = times_sf1
+            out["value_sf1"] = round(sum(times_sf1.values()), 3)
+            out["sf1_lineitem_rows"] = (
+                spark.read.parquet(os.path.join(scale_dir, "lineitem.parquet")).count()
+            )
+        except Exception as exc:  # degrade to the primary-only JSON line
+            for k in ("queries_sf1", "value_sf1", "sf1_lineitem_rows"):
+                out.pop(k, None)
+            print(f"scale point failed, primary result kept: {exc!r}",
+                  file=sys.stderr)
 
     print(json.dumps(out))
     spark.stop()

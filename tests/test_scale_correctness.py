@@ -6,14 +6,16 @@ differential gate runs at sf0.01; this proves the same Spark-vs-oracle
 hash identity survives a 10x-of-bench-scale input — partitioning,
 AQE re-plans, and the two-regime LSH path included.
 
-Only queries whose oracles read the fixture TABLES qualify (the dblp
-oracles pin the committed publications fixture by absolute path, so
-at the scale dir their oracle would see different data than the
-query). Skipped when the scale fixtures are absent.
+Table-backed oracles run as-is; the dblp oracles pin the committed
+publications fixture by ABSOLUTE path, so for the graph family the
+test rewrites that one literal path to the scale dir's inflated
+publications.parquet (same SQL, 10x input — round-4 verdict #5).
+Skipped when the scale fixtures are absent.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 import duckdb
@@ -24,7 +26,8 @@ SCALE_DIR = os.path.join(
 )
 
 # heavy + representative: scan/agg/join, window, LSH dedup (two-regime
-# path), PPJoin exact twin proof, sampling, curation
+# path), PPJoin exact twin proof, sampling, curation, and the two
+# iterative/graph plans (components fixpoint, oriented triangles)
 SCALE_QUERIES = [
     "tpch_pricing_summary",
     "tpch_revenue_by_nation",
@@ -33,6 +36,8 @@ SCALE_QUERIES = [
     "llm_ngram_jaccard_prefix",
     "llm_mixture_sample",
     "llm_token_rarity",
+    "dblp_coauthor_components_star",
+    "dblp_coauthor_triangles",
 ]
 
 TABLES = (
@@ -49,9 +54,29 @@ def _norm(v):
 @pytest.mark.skipif(
     not os.path.isdir(SCALE_DIR), reason="scale fixtures not built"
 )
+def test_scale_fixtures_match_manifest():
+    """A stale fixture dir (older generator, partial build) must fail
+    loudly, not quietly weaken every scale check below.  Recomputes the
+    per-table row count + hash60 digest MANIFEST.json pinned at
+    generation time (tools/make_scale_fixtures.py)."""
+    from tools.make_scale_fixtures import table_digest
+
+    with open(os.path.join(SCALE_DIR, "MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    con = duckdb.connect()
+    for table, pinned in manifest["tables"].items():
+        n, digest = table_digest(con, os.path.join(SCALE_DIR, f"{table}.parquet"))
+        assert (n, digest) == (pinned["rows"], pinned["digest"]), table
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(SCALE_DIR), reason="scale fixtures not built"
+)
 @pytest.mark.parametrize("name", SCALE_QUERIES)
 def test_oracle_holds_at_scale_point(spark, name):
     import __spark_entry__ as entrymod
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import PUBLICATIONS_PATH
 
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
@@ -61,9 +86,20 @@ def test_oracle_holds_at_scale_point(spark, name):
             f"read_parquet('{SCALE_DIR}/{t}.parquet')"
         )
     sdf = qs[name](spark, SCALE_DIR)
-    rel = con.sql(osql[name])
+    # dblp oracles embed the committed publications fixture by literal
+    # absolute path; at the scale point the query reads the inflated
+    # copy (sources/parquet.py:publications sf_dir override), so the
+    # oracle must read the same one.
+    sql = osql[name].replace(
+        PUBLICATIONS_PATH, os.path.join(SCALE_DIR, "publications.parquet")
+    )
+    rel = con.sql(sql)
     assert sorted(sdf.columns) == sorted(rel.columns)
-    s = sorted(sorted(map(_norm, r)) for r in map(tuple, sdf.collect()))
-    o = sorted(sorted(map(_norm, r)) for r in rel.fetchall())
+    # Align oracle columns to Spark's column order BY NAME and compare
+    # row tuples in that fixed order (sorting only across rows), so a
+    # value swap between two same-typed columns cannot pass.
+    o_idx = [rel.columns.index(c) for c in sdf.columns]
+    s = sorted(tuple(map(_norm, r)) for r in map(tuple, sdf.collect()))
+    o = sorted(tuple(_norm(row[i]) for i in o_idx) for row in rel.fetchall())
     assert len(s) == len(o) > 0
     assert s == o

@@ -28,9 +28,22 @@ gitignored; regenerate any time with:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import duckdb
+
+
+def table_digest(con: "duckdb.DuckDBPyConnection", path: str) -> tuple[int, str]:
+    """Row count + order-insensitive 60-bit content digest of a parquet
+    file (xor of per-row hashes over the rows' text form, masked to 60
+    bits — the repo's hash60 convention).  Recomputable by the scale
+    tests to detect a stale fixture dir."""
+    n, d = con.sql(
+        f"SELECT count(*), coalesce(bit_xor(hash(t::VARCHAR)), 0) "
+        f"FROM read_parquet('{path}') t"
+    ).fetchone()
+    return int(n), format(int(d) & ((1 << 60) - 1), "x")
 
 SRC = "/root/testdata/sf0.1"
 STRIDE = 10_000_000  # far above any sf0.1 key (max 600k)
@@ -115,8 +128,10 @@ def main() -> None:
     # publications (DBLP fixture): author/editor names get a per-copy
     # suffix so the coauthor graph replicates as FACTOR disjoint
     # components (how a larger DBLP actually behaves); record keys get
-    # a per-copy prefix; venues stay shared, so per-venue author counts
-    # grow the way a larger corpus would.
+    # a per-copy SUFFIX — venue derivation reads the LEADING key
+    # segments (www kind: first 3 '/'-segments), so the copy tag must
+    # trail the venue-bearing segments for venues to stay shared and
+    # per-venue author counts to grow the way a larger corpus would.
     pubs_src = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "fixtures", "publications.parquet")
@@ -129,7 +144,7 @@ def main() -> None:
         exprs = []
         for c in pub_cols:
             if c == "key":
-                exprs.append(f"'c{i}/' || key AS key")
+                exprs.append(f"key || '/c{i}' AS key")
             elif c in ("authors", "editors"):
                 exprs.append(
                     f"list_transform({c}, x -> x || ' C{i}') AS {c}")
@@ -143,6 +158,17 @@ def main() -> None:
         f"SELECT count(*) FROM read_parquet('{args.out}/publications.parquet')"
     ).fetchone()[0]
     print(f"publications: {n} rows")
+
+    # Pin the build's identity (round-4 verdict #8): row count + an
+    # order-insensitive content digest per table, asserted by the scale
+    # tests so a silently stale fixture dir cannot weaken their checks.
+    manifest = {"factor": args.factor, "tables": {}}
+    for table in [*KEYED, "documents", "publications"]:
+        n, digest = table_digest(con, f"{args.out}/{table}.parquet")
+        manifest["tables"][table] = {"rows": n, "digest": digest}
+    with open(os.path.join(args.out, "MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    print(f"MANIFEST.json: {len(manifest['tables'])} tables")
 
 
 if __name__ == "__main__":
