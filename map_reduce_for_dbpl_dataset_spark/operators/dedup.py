@@ -306,51 +306,92 @@ def ngram_jaccard_pairs_prefix(
       |X| - ceil(t*|X|) + 1 entries, so only prefixes join.
     - LENGTH filter: J >= t forces t*|A| <= |B| <= |A|/t; candidate
       pairs outside the size band are dropped inside the join.
-    - POSITIONAL filter: J >= t needs overlap
-      alpha = ceil(t/(1+t) * (|A|+|B|)); from the EARLIEST common
-      prefix position the overlap can reach at most
-      1 + min(|A|-rk_a, |B|-rk_b), so later-matching pairs die before
-      verification. (At sf1 this prunes ~7x: 7.0M -> 0.9M candidates
-      for the same exact 2,560-pair result.)
+    - PAIR-PREFIX filter (PPJoin's index/probe-prefix asymmetry,
+      generalized): with both sizes in hand the required overlap is
+      alpha = ceil(t/(1+t) * (|A|+|B|)), and the generalized prefix
+      lemma says a qualifying pair must share a token ranked
+      <= |A|-alpha+1 in A AND <= |B|-alpha+1 in B — a per-JOIN-ROW
+      prune far tighter than the worst-case probe prefix (which
+      assumes the smallest legal partner). Applied before the pair
+      groupBy, it cuts the group input ~3x at sf1.
+    - POSITIONAL filter (tight form): ranks are assigned by ONE
+      global order (df asc, hash asc), so for any two docs the
+      common tokens interleave MONOTONICALLY: u < v globally implies
+      rank_A(u) < rank_A(v) and rank_B(u) < rank_B(v). Hence every
+      common token below the largest matched prefix token t* is
+      itself a matched prefix token (it sits inside both prefixes),
+      and overlap <= n_matched + min(|A|-rk_a(t*), |B|-rk_b(t*)).
+      Aggregating count(*) + max ranks per pair gives this exactly —
+      strictly tighter than the textbook single-probe bound of
+      1 + min(|A|-min_rk_a, |B|-min_rk_b). (At sf1 the three pair
+      filters prune 7.0M join rows -> ~0.2M candidates for the same
+      exact 2,560-pair result.)
 
     Scale: the candidate join's cost is sum of squared PREFIX-bucket
     sizes (rare shingles -> tiny buckets), vs squared full-posting
-    sizes for the naive join. The df-ranking pass is one extra
-    groupBy+window, amortized at 100 TB by materializing the ranked
-    shingle table once per corpus snapshot. Verification does NOT
-    broadcast the candidate set (unlike post-LSH verify): prefix
-    candidates scale with the corpus, so they flow through a shuffled
-    join against the shingle-set table.
+    sizes for the naive join. The df-ranking pass is a window count
+    plus a per-doc rank window — two exchanges of the exploded table,
+    amortized at 100 TB by materializing the ranked shingle table
+    once per corpus snapshot. Verification does NOT broadcast the
+    candidate set (unlike post-LSH verify): prefix candidates scale
+    with the corpus, so they flow through a shuffled join against the
+    shingle-set table.
 
     Internal joins/shuffles key on xxhash64(shingle), never the
     shingle STRING — 8-byte fixed keys through every exchange and
-    sort. This cannot cost exactness: the prefix theorem only needs a
-    CONSISTENT global shingle order (df is a performance heuristic,
-    and both docs of any true pair hash a shared shingle to the same
-    key, so no candidate is lost; a hash collision can only merge two
-    df counts / admit a spurious candidate, and every candidate is
-    exact-verified over the string shingle sets afterwards).
-    Set sizes ride the explode as a narrow per-row expression instead
-    of a second corpus-wide window.
+    sort. This cannot cost exactness: the prefix/positional theorems
+    only need a CONSISTENT global shingle order (df is a performance
+    heuristic, and both docs of any true pair hash a shared shingle
+    to the same key, so no candidate is lost; a hash collision can
+    only merge two df counts / admit a spurious candidate, and every
+    candidate is exact-verified over the string shingle sets
+    afterwards). Set sizes ride the explode as a narrow per-row
+    expression instead of a second corpus-wide window.
+
+    All fractional bounds subtract 1e-9 before ceil(): the true
+    bounds are mathematical reals, and a double product that rounds
+    UP past an exactly-integer value would otherwise over-tighten a
+    filter and could drop a true pair; the epsilon means FP rounding
+    can only loosen the prune (spurious admits die in verification).
+
+    TWO-TIER VERIFICATION (the sf1 hot spot: ~1M candidates for
+    ~2.5k true pairs, and the positional bound is structurally weak
+    at this size/threshold — every pair sharing one alpha-prefix
+    token passes it). Tier 1 intersects per-doc SORTED LONG hash
+    arrays (8-byte elements, ~3x less shuffle than the string sets
+    and a cheaper comparator); tier 2 re-verifies the tiny survivor
+    set over exact string sets. Exactness is a theorem, not a
+    probability: per doc the shingles are string-distinct, and two
+    equal hashes within a doc would sort ADJACENT under the rank
+    window's (_df, _sh) order, so a lag() guard riding that existing
+    sort raises on any intra-doc collision. Absent intra-doc
+    collisions the string->hash map is injective per doc, so
+    |Ah n Bh| >= |A n B| and hashed Jaccard >= string Jaccard —
+    tier 1 at threshold t can only ADMIT spurious pairs (killed by
+    tier 2), never drop a true one.
     """
     from pyspark.sql import Window
 
     t = threshold
+    eps = 1e-9
+
+    def _ceil(x: Column) -> Column:
+        return F.ceil(x - F.lit(eps))
+
     ex = shingled.select(
         F.col(id_col).alias("_id"),
         F.size(F.array_distinct(F.col(shingle_col))).alias("_sz"),
         F.explode(F.array_distinct(F.col(shingle_col))).alias("shingle"),
     ).select("_id", "_sz", F.xxhash64("shingle").alias("_sh"))
-    df_counts = ex.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(df_counts, "_sh").withColumn(
-        "_rk",
-        F.row_number().over(
-            Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_sh"))
-        ),
-    )
-    # prefix length = sz - ceil(t*sz) + 1
+    # df as a window count (no orderBy -> no sort): one exchange on
+    # _sh instead of the groupBy+rejoin's two
+    rank_w = Window.partitionBy("_id").orderBy(F.asc("_df"), F.asc("_sh"))
+    ranked = ex.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+    ).withColumn("_rk", F.row_number().over(rank_w))
+    # probe prefix length = sz - ceil(t*sz) + 1 (worst-case partner)
     prefix = ranked.filter(
-        F.col("_rk") <= F.col("_sz") - F.ceil(F.lit(t) * F.col("_sz")) + 1
+        F.col("_rk") <= F.col("_sz") - _ceil(F.lit(t) * F.col("_sz")) + 1
     )
     a = prefix.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), F.col("_rk").alias("_rka"), "_sh"
@@ -358,31 +399,87 @@ def ngram_jaccard_pairs_prefix(
     b = prefix.select(
         F.col("_id").alias("id_b"), F.col("_sz").alias("_szb"), F.col("_rk").alias("_rkb"), "_sh"
     )
+    # required overlap for this size pair
+    alpha = _ceil(F.lit(t / (1 + t)) * (F.col("_sza") + F.col("_szb")))
     cands = (
         a.join(b, "_sh")
         .filter(F.col("id_a") < F.col("id_b"))
         # length filter (symmetric size band)
         .filter(
-            (F.col("_szb") >= F.ceil(F.lit(t) * F.col("_sza")))
-            & (F.col("_sza") >= F.ceil(F.lit(t) * F.col("_szb")))
+            (F.col("_szb") >= _ceil(F.lit(t) * F.col("_sza")))
+            & (F.col("_sza") >= _ceil(F.lit(t) * F.col("_szb")))
+        )
+        # pair-prefix filter: the shared token must sit within BOTH
+        # docs' alpha-derived prefixes
+        .filter(
+            (F.col("_rka") <= F.col("_sza") - alpha + 1)
+            & (F.col("_rkb") <= F.col("_szb") - alpha + 1)
         )
         .groupBy("id_a", "id_b")
         .agg(
             F.max("_sza").alias("_sza"),
             F.max("_szb").alias("_szb"),
-            F.min("_rka").alias("_mrka"),
-            F.min("_rkb").alias("_mrkb"),
+            F.count(F.lit(1)).alias("_npfx"),
+            F.max("_rka").alias("_xrka"),
+            F.max("_rkb").alias("_xrkb"),
         )
-        # positional filter: reachable overlap from the earliest common
-        # prefix position must cover alpha
+        # tight positional filter (monotone interleaving, see above):
+        # matched-prefix count + tokens reachable past the LAST match
         .filter(
-            F.least(F.col("_sza") - F.col("_mrka"), F.col("_szb") - F.col("_mrkb")) + 1
-            >= F.ceil(F.lit(t / (1 + t)) * (F.col("_sza") + F.col("_szb")))
+            F.col("_npfx")
+            + F.least(F.col("_sza") - F.col("_xrka"), F.col("_szb") - F.col("_xrkb"))
+            >= _ceil(F.lit(t / (1 + t)) * (F.col("_sza") + F.col("_szb")))
         )
         .select("id_a", "id_b")
     )
+    # tier 1: intersect sorted 8-byte hash arrays (collision-guarded;
+    # J_hash >= J_string, so >= t here loses nothing). Built as a
+    # NARROW map over the caller's (usually persisted) shingle table —
+    # no shuffle, and crucially no recomputation of the df/rank
+    # window pipeline. The guard compares distinct-hash count to the
+    # distinct-string count: any intra-doc xxhash64 collision breaks
+    # the injectivity the tier-1 bound needs, so it raises (a
+    # 2^-64-scale event; the exactness contract requires failing
+    # loudly over silently degrading).
+    harr = F.array_sort(
+        F.transform(F.array_distinct(F.col(shingle_col)), lambda s: F.xxhash64(s))
+    )
+    hsets = shingled.select(
+        F.col(id_col).alias("_id"),
+        F.when(F.size(F.array_distinct(harr)) == F.size(harr), harr)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "xxhash64 collision between two shingles of one "
+                    "document: hashed Jaccard bound invalid"
+                )
+            ).cast("array<bigint>")
+        )
+        .alias("_hset"),
+    )
+    tier1 = (
+        cands.join(
+            hsets.select(F.col("_id").alias("id_a"), F.col("_hset").alias("_ha")),
+            "id_a",
+        )
+        .join(
+            hsets.select(F.col("_id").alias("id_b"), F.col("_hset").alias("_hb")),
+            "id_b",
+        )
+        .withColumn("_ih", F.size(F.array_intersect("_ha", "_hb")))
+        # I_h*(1+t) >= t*(|A|+|B|)  <=>  J_hash >= t (integer-safe,
+        # eps-loosened)
+        .filter(
+            F.col("_ih") * F.lit(1 + t)
+            >= F.lit(t) * (F.size("_ha") + F.size("_hb")) - F.lit(eps)
+        )
+        .select("id_a", "id_b")
+    )
+    # tier 2: exact string-set verification of the tiny survivor set
+    # (shuffled, not broadcast: survivors track the true pair count,
+    # which scales with the corpus)
     return verify_jaccard(
-        cands, shingled, id_col, shingle_col, broadcast_pairs=False
+        tier1, shingled, id_col, shingle_col, broadcast_pairs=False
     ).filter(F.col("jaccard") >= threshold)
 
 
