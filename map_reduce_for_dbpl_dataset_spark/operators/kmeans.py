@@ -54,7 +54,7 @@ def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_fixed(
+def kmeans_train(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
@@ -63,8 +63,10 @@ def kmeans_fixed(
     scale: int = 1000,
 ) -> DataFrame:
     """Run `iters` Lloyd iterations from centroids seeded at
-    `init_ids`; returns the final per-cluster summary
-    (cluster, n_members, sse, min_member) — all exact integers."""
+    `init_ids`; returns the trained quantized centroid table
+    (cluster, c) — the coarse codebook consumed by
+    similarity.semdedup / similarity.ivf_topk in place of their
+    seeded-by-id centroid rows."""
     q = corpus.select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
     )
@@ -87,6 +89,24 @@ def kmeans_fixed(
                 ).alias("c")
             )
         )
+    return cents
+
+
+def kmeans_fixed(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    init_ids: Sequence[int],
+    iters: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Run `iters` Lloyd iterations from centroids seeded at
+    `init_ids`; returns the final per-cluster summary
+    (cluster, n_members, sse, min_member) — all exact integers."""
+    q = corpus.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
+    )
+    cents = kmeans_train(corpus, id_col, vec_col, init_ids, iters, scale)
     final = _assign(q, cents)
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -123,9 +123,10 @@ def semdedup(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    centroid_ids: list[int],
+    centroid_ids: list[int] | None = None,
     threshold: float = 0.95,
     scale: int = 1000,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup — Abbas, Tirumala, Simig,
     Ganguli, Morcos, "SemDeDup: Data-efficient learning at web-scale
@@ -135,10 +136,12 @@ def semdedup(
     (pairwise cosine >= threshold).
 
     Plan shape at 100 TB — the reason SemDeDup clusters at all:
-    - assignment is a BROADCAST join against the K-row centroid table
-      (here the centroid rows are seeded by id; production trains them
-      with operators/kmeans.py — same table shape), argmax cosine with
-      ties to the lower cell. The corpus never shuffles for this.
+    - assignment is a BROADCAST join against the K-row centroid table,
+      argmax cosine with ties to the lower cell. The corpus never
+      shuffles for this. The codebook is either seeded by member id
+      (``centroid_ids``) or a trained quantized (cluster, c) table
+      (``centroids`` — e.g. operators/kmeans.py kmeans_train output,
+      the composition llm_semdedup_trained demonstrates).
     - the near-dup search shuffles once on cluster id, and the
       pairwise work is sum over clusters of |cluster|^2 — the whole
       point vs the corpus^2 all-pairs scan. Hot clusters are ordinary
@@ -151,13 +154,22 @@ def semdedup(
     Determinism: quantized integer dot/norm (functions/vectors.py),
     cosine as a single double expression — bit-identical to DuckDB.
     Output: (id_col, cluster, kept)."""
+    if (centroid_ids is None) == (centroids is None):
+        raise ValueError("pass exactly one of centroid_ids / centroids")
     c = (
         corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col), scale).alias("_q"))
         .withColumn("_n2", norm2_q(F.col("_q")))
     )
-    cents = c.filter(F.col("_id").isin(list(centroid_ids))).select(
-        F.col("_id").alias("_cell"), F.col("_q").alias("_kq"), F.col("_n2").alias("_kn2")
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cluster").alias("_cell"),
+            F.col("c").alias("_kq"),
+            norm2_q(F.col("c")).alias("_kn2"),
+        )
+    else:
+        cents = c.filter(F.col("_id").isin(list(centroid_ids))).select(
+            F.col("_id").alias("_cell"), F.col("_q").alias("_kq"), F.col("_n2").alias("_kn2")
+        )
     scored = c.join(F.broadcast(cents)).withColumn(
         "_cos", cosine_q(dot_q(F.col("_q"), F.col("_kq")), F.col("_n2"), F.col("_kn2"))
     )

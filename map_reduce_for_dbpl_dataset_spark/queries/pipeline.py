@@ -790,6 +790,103 @@ GROUP BY s.source ORDER BY s.source
 """
 
 
+# Sketch-threshold variant: accuracy 100 gives the Greenwald-Khanna
+# sketch a rank guarantee of n/100; the verdict asks the sketch
+# threshold to land between the exact (pct-BAND) and (pct+BAND)
+# quantiles — a rank-band check that is robust to tied quality
+# scores, where a count-based band would jump by the tie mass.
+QUALITY_APPROX_ACC = 100
+QUALITY_APPROX_BAND = 0.1
+
+
+def q_quality_select_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap the exact query's docstring names: per-source
+    thresholds from approx_percentile — a fixed-size, mergeable
+    Greenwald-Khanna sketch, so the threshold agg stays one partial-
+    aggregatable pass with bounded state regardless of source size
+    (exact percentile buffers each source's values). Oracle is a
+    BOUNDS check (the tpch_approx_distinct pattern): each engine
+    computes its own sketch threshold and verifies the selection it
+    induces lands within the error band of its own exact selection —
+    only the deterministic verdict and exact counts are compared."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.floor(
+                (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"))
+                * 1e6
+            )
+            / 1e6
+        ).alias("quality"),
+    )
+    def _pctl(p: float) -> F.Column:
+        return F.floor(F.percentile(F.col("quality"), F.lit(p)) * 1e6) / 1e6
+
+    thr = scored.groupBy("source").agg(
+        _pctl(QUALITY_PCT).alias("thr_exact"),
+        _pctl(QUALITY_PCT - QUALITY_APPROX_BAND).alias("_q_lo"),
+        _pctl(QUALITY_PCT + QUALITY_APPROX_BAND).alias("_q_hi"),
+        (
+            F.floor(
+                F.approx_percentile(
+                    F.col("quality"), F.lit(QUALITY_PCT), F.lit(QUALITY_APPROX_ACC)
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("_thr_approx"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    sel = (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.sum((F.col("quality") >= F.col("thr_exact")).cast("long")).alias(
+                "n_selected"
+            ),
+            F.max(
+                (F.col("_thr_approx") >= F.col("_q_lo"))
+                & (F.col("_thr_approx") <= F.col("_q_hi"))
+            ).alias("approx_ok"),
+        )
+    )
+    return sel.select("source", "n_total", "n_selected", "approx_ok").orderBy("source")
+
+
+SQL_QUALITY_SELECT_APPROX = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         floor(len(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))::DOUBLE
+               / len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))::DOUBLE
+               * 1000000.0) / 1000000.0 AS quality
+  FROM documents
+),
+thr AS (
+  SELECT source,
+         floor(quantile_cont(quality, {QUALITY_PCT}) * 1000000.0) / 1000000.0 AS thr_exact,
+         floor(quantile_cont(quality, {QUALITY_PCT - QUALITY_APPROX_BAND}) * 1000000.0) / 1000000.0 AS q_lo,
+         floor(quantile_cont(quality, {QUALITY_PCT + QUALITY_APPROX_BAND}) * 1000000.0) / 1000000.0 AS q_hi,
+         floor(approx_quantile(quality, {QUALITY_PCT}) * 1000000.0) / 1000000.0 AS thr_approx,
+         count(*) AS n_total
+  FROM scored GROUP BY source
+)
+SELECT s.source, max(t.n_total) AS n_total,
+       sum(CASE WHEN s.quality >= t.thr_exact THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+       bool_and(t.thr_approx BETWEEN t.q_lo AND t.q_hi) AS approx_ok
+FROM scored s JOIN thr t USING (source)
+GROUP BY s.source ORDER BY s.source
+"""
+
+
 # --- incremental dedup vs a prior snapshot -----------------------------------
 # Continuous-refresh hygiene: only documents whose content fingerprint
 # is NEW relative to the already-trained snapshot survive, deduped
@@ -849,6 +946,8 @@ QUERIES["llm_boilerplate_lines"] = q_boilerplate_lines
 ORACLE_SQL["llm_boilerplate_lines"] = SQL_BOILERPLATE_LINES
 QUERIES["llm_quality_select"] = q_quality_select
 ORACLE_SQL["llm_quality_select"] = SQL_QUALITY_SELECT
+QUERIES["llm_quality_select_approx"] = q_quality_select_approx
+ORACLE_SQL["llm_quality_select_approx"] = SQL_QUALITY_SELECT_APPROX
 QUERIES["llm_dedup_incremental"] = q_dedup_incremental
 ORACLE_SQL["llm_dedup_incremental"] = SQL_DEDUP_INCREMENTAL
 
@@ -859,6 +958,23 @@ ORACLE_SQL["llm_dedup_incremental"] = SQL_DEDUP_INCREMENTAL
 # vectors top out ~0.51 — a wide deterministic margin on both sides.
 SEMDEDUP_THRESHOLD = 0.9
 SEMDEDUP_CENTROID_IDS = [30, 31, 32, 33]
+
+
+def _augmented_embeddings(e: DataFrame) -> DataFrame:
+    """Deterministic near-dup planting (shared by llm_dedup_embedding /
+    llm_semdedup / llm_semdedup_trained): exact copies at +100000 and
+    every-4th-element-halved copies at +200000 — the raw fixture has
+    no natural near-identical vectors."""
+    seeds = e.filter(F.col("vec_id") < 10)
+    exact = seeds.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    half4 = F.transform(
+        "embedding",
+        lambda x, i: F.when(i % 4 == 0, x.cast("double") * F.lit(0.5)).otherwise(
+            x.cast("double")
+        ),
+    )
+    near = seeds.select((F.col("vec_id") + 200000).alias("vec_id"), half4.alias("embedding"))
+    return e.unionAll(exact).unionAll(near)
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,22 +988,40 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semdedup
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = e.filter(F.col("vec_id") < 10)
-    exact = seeds.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
-    half4 = F.transform(
-        "embedding",
-        lambda x, i: F.when(i % 4 == 0, x.cast("double") * F.lit(0.5)).otherwise(
-            x.cast("double")
-        ),
-    )
-    near = seeds.select((F.col("vec_id") + 200000).alias("vec_id"), half4.alias("embedding"))
-    corpus = e.unionAll(exact).unionAll(near)
+    corpus = _augmented_embeddings(e)
     return semdedup(
         corpus,
         "vec_id",
         "embedding",
         SEMDEDUP_CENTROID_IDS,
         threshold=SEMDEDUP_THRESHOLD,
+    ).orderBy("vec_id")
+
+
+def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-assign composition (round-4 verdict #3): the SemDeDup
+    coarse codebook is TRAINED — operators/kmeans.py kmeans_train runs
+    the same 2 exact-integer Lloyd iterations as llm_kmeans over the
+    raw embeddings — and the trained (cluster, c) table replaces the
+    seeded-by-id centroid rows in operators/similarity.py semdedup.
+    Same broadcast-assignment plan shape (the K-row codebook broadcasts
+    whether seeded or trained); the oracle unrolls the training
+    iterations as CTEs (the llm_kmeans pattern) and feeds the final
+    centroid CTE into the semdedup SQL — exact hash equality end to
+    end, closing the 'production trains them' caveat with a live
+    demonstration."""
+    from ..operators.kmeans import kmeans_train
+    from ..operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_train(e, "vec_id", "embedding", KMEANS_INIT_IDS, iters=KMEANS_ITERS)
+    corpus = _augmented_embeddings(e)
+    return semdedup(
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=SEMDEDUP_THRESHOLD,
+        centroids=cents,
     ).orderBy("vec_id")
 
 
@@ -1102,8 +1236,90 @@ ORDER BY r.source, r.sample_rk
 """
 
 
+def _semdedup_trained_sql() -> str:
+    """llm_semdedup_trained oracle: the llm_kmeans unrolled-iteration
+    CTE chain (k-prefixed to avoid name capture) feeding its final
+    centroid table into the llm_semdedup SQL in place of the seeded
+    centroid rows."""
+    ids = ", ".join(str(i) for i in KMEANS_INIT_IDS)
+    d2 = (
+        f"CAST(list_sum([(a.q[i]-c.c[i])*(a.q[i]-c.c[i]) "
+        f"for i in range(1, {EMB_DIM + 1})]) AS BIGINT)"
+    )
+    assign = """
+ka{t} AS (
+  SELECT vid, q, cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (SELECT a.vid, a.q, c.cluster, {d2} AS d2 FROM kq a CROSS JOIN kc{p} c))
+  WHERE rn = 1
+)"""
+    update = """
+kpd{t} AS (
+  SELECT cluster, u.i AS dim, sum(q[u.i]) AS s, count(*) AS n
+  FROM ka{t} CROSS JOIN LATERAL (SELECT unnest(range(1, {dplus})) AS i) u
+  GROUP BY cluster, u.i
+),
+kc{t} AS (SELECT cluster, list(s // n ORDER BY dim) AS c FROM kpd{t} GROUP BY cluster)"""
+    parts = []
+    for t in range(1, KMEANS_ITERS + 1):
+        parts.append(assign.format(t=t, p=t - 1, d2=d2))
+        parts.append(update.format(t=t, dplus=EMB_DIM + 1))
+    dot = "CAST(list_sum([{a}.q[i] * {b}.q[i] for i in range(1, %d)]) AS DOUBLE)" % (
+        EMB_DIM + 1
+    )
+    cos = dot + " / sqrt(CAST({a}.n2 AS DOUBLE) * CAST({b}.n2 AS DOUBLE))"
+    return f"""
+WITH kq AS (
+  SELECT vec_id AS vid,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+kc0 AS (SELECT vid AS cluster, q AS c FROM kq WHERE vid IN ({ids})),{",".join(parts)},
+cents AS (
+  SELECT cluster AS cell, c AS q,
+         CAST(list_sum([x * x for x in c]) AS BIGINT) AS n2
+  FROM kc{KMEANS_ITERS}
+),
+base AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS emb FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 100000, emb FROM base WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 200000,
+         [CASE WHEN (i - 1) % 4 = 0 THEN emb[i] * 0.5 ELSE emb[i] END
+          for i in range(1, {EMB_DIM + 1})]
+  FROM base WHERE vec_id < 10
+),
+qs AS (SELECT vec_id, [CAST(floor(x * 1000) AS BIGINT) for x in emb] AS q FROM corpus),
+n AS (SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2 FROM qs),
+assigned AS (
+  SELECT vec_id, q, n2, cell AS cluster FROM (
+    SELECT a.vec_id, a.q, a.n2, c.cell,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {cos.format(a='a', b='c')} DESC, c.cell ASC) AS rn
+    FROM n a CROSS JOIN (SELECT cell, q, n2 FROM cents) c)
+  WHERE rn = 1
+),
+dominated AS (
+  SELECT DISTINCT hi.vec_id
+  FROM assigned lo JOIN assigned hi
+    ON lo.cluster = hi.cluster AND lo.vec_id < hi.vec_id
+  WHERE {cos.format(a='lo', b='hi')} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS kept
+FROM assigned a LEFT JOIN dominated d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
 QUERIES["llm_semdedup"] = q_semdedup
 ORACLE_SQL["llm_semdedup"] = _semdedup_sql()
+QUERIES["llm_semdedup_trained"] = q_semdedup_trained
+ORACLE_SQL["llm_semdedup_trained"] = _semdedup_trained_sql()
 QUERIES["llm_chunk_overlap"] = q_chunk_overlap
 ORACLE_SQL["llm_chunk_overlap"] = SQL_CHUNK_OVERLAP
 QUERIES["llm_mixture_sample"] = q_mixture_sample
