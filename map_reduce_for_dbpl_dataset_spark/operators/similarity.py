@@ -250,6 +250,8 @@ def ivf_topk(
     k: int = 3,
     n_probe: int = 2,
     scale: int = 1000,
+    centroid_vec_col: str | None = None,
+    centroids_pre_quantized: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into cells by
     nearest centroid, then search only the ``n_probe`` cells nearest
@@ -263,11 +265,19 @@ def ivf_topk(
     size is corpus/n_cells * n_probe per query. Hot cells (Zipfian
     data) are AQE skew-split; more centroids shrink cells.
 
+    The codebook is either raw vectors in ``vec_col`` (seeded member
+    rows) or, with ``centroid_vec_col``/``centroids_pre_quantized``,
+    an already-quantized trained table — e.g. operators/kmeans.py
+    kmeans_train (cluster, c) output, as llm_ann_ivf_trained
+    demonstrates.
+
     Determinism: all scoring on quantized integer vectors (exact),
     ties broken by id — bit-identical to the DuckDB oracle.
     """
+    cvec = F.col(centroid_vec_col or vec_col)
+    kq = cvec if centroids_pre_quantized else quantize(cvec, scale)
     cents = centroids.select(
-        F.col(centroid_id_col).alias("_cell"), quantize(F.col(vec_col), scale).alias("_kq")
+        F.col(centroid_id_col).alias("_cell"), kq.alias("_kq")
     ).withColumn("_kn2", norm2_q(F.col("_kq")))
 
     def nearest_cells(df: DataFrame, idc: str, out_id: str, n: int) -> DataFrame:

@@ -1236,11 +1236,11 @@ ORDER BY r.source, r.sample_rk
 """
 
 
-def _semdedup_trained_sql() -> str:
-    """llm_semdedup_trained oracle: the llm_kmeans unrolled-iteration
-    CTE chain (k-prefixed to avoid name capture) feeding its final
-    centroid table into the llm_semdedup SQL in place of the seeded
-    centroid rows."""
+def _kmeans_prelude() -> str:
+    """The llm_kmeans unrolled-iteration CTE chain (k-prefixed to
+    avoid name capture), ending with the trained centroid table
+    kc{KMEANS_ITERS} — shared by the train-then-assign oracles
+    (llm_semdedup_trained, llm_ann_ivf_trained)."""
     ids = ", ".join(str(i) for i in KMEANS_INIT_IDS)
     d2 = (
         f"CAST(list_sum([(a.q[i]-c.c[i])*(a.q[i]-c.c[i]) "
@@ -1264,17 +1264,24 @@ kc{t} AS (SELECT cluster, list(s // n ORDER BY dim) AS c FROM kpd{t} GROUP BY cl
     for t in range(1, KMEANS_ITERS + 1):
         parts.append(assign.format(t=t, p=t - 1, d2=d2))
         parts.append(update.format(t=t, dplus=EMB_DIM + 1))
+    return f"""kq AS (
+  SELECT vec_id AS vid,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+kc0 AS (SELECT vid AS cluster, q AS c FROM kq WHERE vid IN ({ids})),{",".join(parts)}"""
+
+
+def _semdedup_trained_sql() -> str:
+    """llm_semdedup_trained oracle: the kmeans prelude feeding its
+    final centroid table into the llm_semdedup SQL in place of the
+    seeded centroid rows."""
     dot = "CAST(list_sum([{a}.q[i] * {b}.q[i] for i in range(1, %d)]) AS DOUBLE)" % (
         EMB_DIM + 1
     )
     cos = dot + " / sqrt(CAST({a}.n2 AS DOUBLE) * CAST({b}.n2 AS DOUBLE))"
     return f"""
-WITH kq AS (
-  SELECT vec_id AS vid,
-         [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
-  FROM embeddings
-),
-kc0 AS (SELECT vid AS cluster, q AS c FROM kq WHERE vid IN ({ids})),{",".join(parts)},
+WITH {_kmeans_prelude()},
 cents AS (
   SELECT cluster AS cell, c AS q,
          CAST(list_sum([x * x for x in c]) AS BIGINT) AS n2
@@ -1316,10 +1323,83 @@ ORDER BY a.vec_id
 """
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook IVF ANN (round-4 verdict #3, sibling of
+    llm_semdedup_trained): the coarse quantizer is kmeans_train's
+    (cluster, c) output — the same 2 exact-integer Lloyd iterations
+    llm_kmeans certifies — instead of llm_ann_ivf's seeded member
+    rows. Identical plan shape: the K-row codebook broadcasts for
+    assignment and probing; the only shuffle stays the cell-id
+    candidate join. The oracle chains the kmeans prelude CTEs into
+    the IVF SQL — hash-exact end to end."""
+    from ..operators.kmeans import kmeans_train
+    from ..operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, "vec_id", "embedding", KMEANS_INIT_IDS, iters=KMEANS_ITERS)
+    return ivf_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        centroids=cents,
+        centroid_id_col="cluster",
+        k=3,
+        n_probe=IVF_N_PROBE,
+        centroid_vec_col="c",
+        centroids_pre_quantized=True,
+    ).orderBy("query_id", "neighbor_id")
+
+
+def _ivf_trained_sql() -> str:
+    return f"""
+WITH {_kmeans_prelude()},
+q0 AS (
+  SELECT vec_id, {_IVF_QUANT} AS q FROM embeddings
+),
+n AS (
+  SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2 FROM q0
+),
+cents AS (
+  SELECT cluster AS cell, c AS kq,
+         CAST(list_sum([x * x for x in c]) AS BIGINT) AS kn2
+  FROM kc{KMEANS_ITERS}
+),
+assign0 AS (
+  SELECT a.vec_id, a.q, a.n2, c.cell,
+         {_IVF_DOT} / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.kn2 AS DOUBLE)) AS cos,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_IVF_DOT} / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.kn2 AS DOUBLE)) DESC,
+                                     c.cell ASC) AS rn
+  FROM n a CROSS JOIN cents c
+),
+cells AS (SELECT vec_id AS neighbor_id, q, n2, cell FROM assign0 WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, q, n2, cell FROM assign0
+  WHERE rn <= {IVF_N_PROBE} AND vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         CAST(list_sum([p.q[i] * c.q[i] for i in range(1, {EMB_DIM + 1})]) AS DOUBLE)
+           / sqrt(CAST(p.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+  FROM probes p JOIN cells c ON c.cell = p.cell AND c.neighbor_id != p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
+"""
+
+
 QUERIES["llm_semdedup"] = q_semdedup
 ORACLE_SQL["llm_semdedup"] = _semdedup_sql()
 QUERIES["llm_semdedup_trained"] = q_semdedup_trained
 ORACLE_SQL["llm_semdedup_trained"] = _semdedup_trained_sql()
+QUERIES["llm_ann_ivf_trained"] = q_ann_ivf_trained
+ORACLE_SQL["llm_ann_ivf_trained"] = _ivf_trained_sql()
 QUERIES["llm_chunk_overlap"] = q_chunk_overlap
 ORACLE_SQL["llm_chunk_overlap"] = SQL_CHUNK_OVERLAP
 QUERIES["llm_mixture_sample"] = q_mixture_sample

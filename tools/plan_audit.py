@@ -218,6 +218,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
         ("centroid update partial-aggregated", "partial_sum"),
     ],
+    "llm_ann_ivf_trained": [
+        # trained coarse quantizer, same IVF plan shape as the seeded
+        # variant: codebook broadcasts, candidate join stays equi
+        ("codebook broadcast (corpus never shuffles to assign)", "BroadcastExchange"),
+        ("no cartesian", "!CartesianProduct"),
+        ("centroid update partial-aggregated", "partial_sum"),
+    ],
 }
 
 # Hand-written analysis that survives regeneration: emitted verbatim
@@ -274,6 +281,14 @@ training iterations as CTEs feeding the semdedup SQL, so the
 composition is hash-exact end to end. This closes the 'production
 trains them' caveat on the seeded SemDeDup/IVF codebooks with a
 live demonstration.""",
+    "llm_ann_ivf_trained": """\
+**Trained coarse quantizer** (sibling of llm_semdedup_trained): the
+IVF codebook comes from kmeans_train instead of seeded member rows.
+ivf_topk accepts the already-quantized (cluster, c) table via
+centroid_vec_col/centroids_pre_quantized; plan shape is the seeded
+variant's — codebook broadcasts for assignment and probing, the only
+shuffle is the cell-id candidate join. Oracle = kmeans prelude CTEs
+chained into the IVF SQL, hash-exact.""",
 }
 
 
