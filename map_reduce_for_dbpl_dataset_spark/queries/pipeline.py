@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import hash60, normalize_text, tokens
+from ..functions.text import hash60, normalize_text, tokens, word_shingles
 from ..operators.similarity import ivf_topk, pq_adc_topk
 from ..sources.parquet import load_table
 from .llm import _SH_CTE, EMB_DIM, N_QUERY_VECS, _docs_shingled
@@ -1570,6 +1570,78 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- bigram-LM fluency score (CCNet-style quality signal) --------------------
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score — the step past unigram
+    token-rarity (llm_token_rarity) toward the CCNet/KenLM perplexity
+    filter: documents whose word-to-word transitions are common in
+    the corpus score high, word-soup scores low.
+
+    Integer-exact by construction: per-term conditional probabilities
+    c(w_{i-1} w_i) / c(w_{i-1} .) would need a float SUM (order-
+    dependent, not portable), so the score is the micro-average —
+    ratio of the two exact integer sums with ONE division at the end:
+    score_micro = floor(1e6 * sum(c(bigram)) / sum(c(prefix))).
+
+    Plan: one bigram explode; corpus bigram counts by partial-agg
+    groupBy; prefix (first-word) masses DERIVED from the bigram
+    counts (K rows, no second corpus pass); two equi-joins back; one
+    per-doc agg. Docs with < 2 tokens have no bigrams and drop out
+    (none in the fixtures). Hot bigrams are ordinary join skew —
+    AQE-splittable, no collect anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    big = d.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg")
+    )
+    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    pfx = (
+        bgc.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    return (
+        big.join(bgc, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(pfx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c_bg").alias("hits"),
+            F.sum("c_w1").alias("mass"),
+        )
+        .withColumn("score_micro", F.expr("(hits * 1000000) div mass"))
+        .select("doc_id", "n_bigrams", "hits", "mass", "score_micro")
+        .orderBy("doc_id")
+    )
+
+
+SQL_BIGRAM_LM_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+                     ELSE [] END) AS bg
+  FROM toks
+),
+bgc AS (SELECT bg, count(*) AS c_bg FROM big GROUP BY bg),
+pfx AS (
+  SELECT string_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_w1 FROM bgc GROUP BY 1
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       sum(c.c_bg)::BIGINT AS hits, sum(p.c_w1)::BIGINT AS mass,
+       CAST((sum(c.c_bg) * 1000000) // sum(p.c_w1) AS BIGINT) AS score_micro
+FROM big b
+JOIN bgc c USING (bg)
+JOIN pfx p ON p.w1 = string_split(b.bg, ' ')[1]
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
 # --- deterministic corpus shuffle / shard assignment -------------------------
 # Training-order preparation: every doc gets a (shard, position) under
 # a hash permutation — reproducible across reruns and engines, unlike
@@ -1618,5 +1690,7 @@ QUERIES["llm_substring_spans"] = q_substring_spans
 ORACLE_SQL["llm_substring_spans"] = SQL_SUBSTRING_SPANS
 QUERIES["llm_token_rarity"] = q_token_rarity
 ORACLE_SQL["llm_token_rarity"] = SQL_TOKEN_RARITY
+QUERIES["llm_bigram_lm_score"] = q_bigram_lm_score
+ORACLE_SQL["llm_bigram_lm_score"] = SQL_BIGRAM_LM_SCORE
 QUERIES["llm_corpus_shuffle"] = q_corpus_shuffle
 ORACLE_SQL["llm_corpus_shuffle"] = SQL_CORPUS_SHUFFLE

@@ -20,6 +20,7 @@ from ..streaming.windows import (
     stream_dedup,
     stream_events,
     stream_events_duplicated,
+    stream_events_phased_late,
     stream_session_stats,
     stream_sliding_counts,
     stream_tumbling_counts,
@@ -231,8 +232,47 @@ SELECT doc_id, frame_idx, frame_md5, frame_len FROM f ORDER BY doc_id, frame_idx
 """
 
 
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, actually exercised (the
+    other parity rows' single ordered file never delivers late rows,
+    so their watermarks only bound state): the events table arrives
+    first, a watermark-carrier row rides the middle micro-batch (the
+    two-watermark model filters batch N's late rows with batch N-1's
+    eviction watermark — see stream_events_phased_late), and then
+    re-stamped ancient copies arrive late and must be dropped.
+    APPEND output mode (complete mode never drops late rows by
+    design), so the final table is exactly the windows the final
+    watermark closed.
+
+    The oracle replays both rules in batch SQL: tumbling counts over
+    the ON-TIME rows only (a dropped late row must not perturb any
+    count) restricted to windows with end <= max(ts) - 10 minutes (a
+    window the watermark never passed must not emit — which also
+    hides the carrier, parked in the max-ts window). If the files
+    collapsed into fewer micro-batches, or late rows survived, or
+    closed windows re-emitted, counts or row sets diverge and the
+    hash fails."""
+    ev = stream_events_phased_late(spark, sf_dir)
+    out = run_stream_to_table(
+        stream_tumbling_counts(ev), spark, output_mode="append"
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+SQL_STREAM_LATE_DROP = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_parity": q_stream_tumbling,
+    "stream_late_drop_parity": q_stream_late_drop,
     "stream_sliding_parity": q_stream_sliding,
     "stream_session_parity": q_stream_session,
     "stream_stateful_user_stats": q_stream_stateful,
@@ -245,6 +285,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "stream_late_drop_parity": SQL_STREAM_LATE_DROP,
     "stream_checkpoint_recovery": SQL_STREAM_CHECKPOINT_RECOVERY,
     "stream_foreachbatch_sink": SQL_STREAM_FOREACHBATCH,
     "stream_dedup_parity": SQL_STREAM_DEDUP,

@@ -75,6 +75,75 @@ def stream_events_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_events_phased_late(
+    spark: SparkSession, sf_dir: str, n_late: int = 50
+) -> DataFrame:
+    """readStream over the events table delivered in THREE ordered
+    micro-batches so genuinely-late rows meet an advanced watermark:
+
+      batch 0 — the full on-time table (computes watermark W =
+                max(ts) - 10 min at batch end);
+      batch 1 — one re-stamped copy of the max-ts event (a watermark
+                CARRIER: under Spark's two-watermark model,
+                SPARK-40925, the late-event filter of batch N uses
+                batch N-1's EVICTION watermark, so the filter lags
+                one batch — without this carrier batch the late rows
+                would be filtered against the pre-advance watermark
+                and sail through, which is exactly what the first
+                two-file draft of this source measured);
+      batch 2 — ``n_late`` re-stamped copies of the first events
+                (ts = corpus minimum, shifted ids): every one is now
+                late against W and must be DROPPED.
+
+    The carrier lands in the final (max-ts) window, which the
+    watermark never passes, so it is invisible in append output. No
+    other staged source exercises the drop semantics — a single
+    ordered file has no late data, so its watermark only bounds
+    state.
+
+    Delivery order is forced with file modification times (the file
+    source schedules oldest-mtime first; maxFilesPerTrigger=1 keeps
+    the files in separate micro-batches under AvailableNow). The
+    staging writes are driver-side test plumbing; on a cluster this
+    is a Kafka topic with disordered producers."""
+    import glob
+    import shutil
+
+    batch = load_table(spark, sf_dir, "events")
+    stage = f"/tmp/mrdbpl_stream_late_{abs(hash(sf_dir))}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    min_ts, max_ts = batch.agg(F.min("ts"), F.max("ts")).collect()[0]
+    carrier = (
+        batch.filter(F.col("ts") == max_ts)
+        .limit(1)
+        .withColumn("event_id", F.col("event_id") + 20_000_000)
+    )
+    late = (
+        batch.filter(F.col("event_id") < n_late)
+        .withColumn("ts", F.lit(min_ts).cast("timestamp_ntz"))
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+    )
+
+    def _stage_one(df: DataFrame, name: str, mtime: int) -> None:
+        tmp = os.path.join(stage, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stage, name)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (mtime, mtime))
+
+    _stage_one(batch, "a_ontime.parquet", 1_000_000_000)
+    _stage_one(carrier, "b_carrier.parquet", 1_000_000_100)
+    _stage_one(late, "c_late.parquet", 1_000_000_200)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+
 def stream_dedup(events: DataFrame) -> DataFrame:
     """Streaming exact deduplication on event_id. State = the set of
     seen ids, carried ACROSS micro-batches (the second delivery of
