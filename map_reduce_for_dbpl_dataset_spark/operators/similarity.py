@@ -321,10 +321,11 @@ def pq_adc_topk(
     id_col: str,
     vec_col: str,
     query_id_col: str,
-    codeword_ids: list[int],
+    codeword_ids: list[int] | None = None,
     n_sub: int = 4,
     k: int = 3,
     scale: int = 1000,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
@@ -332,9 +333,10 @@ def pq_adc_topk(
 
     The vector space is split into ``n_sub`` subspaces; each corpus
     subvector is ENCODED as the id of its nearest per-subspace
-    codeword (here the codebook rows are the subvectors of the
-    ``codeword_ids`` vectors — a production pipeline trains them with
-    operators/kmeans.py per subspace; layout and joins are identical).
+    codeword. The codebook rows are either the subvectors of the
+    ``codeword_ids`` vectors (seeded) or a TRAINED quantized
+    (m, code, bq) table via ``codebook`` — per-subspace
+    operators/kmeans.py output, as llm_ann_pq_trained demonstrates.
     A query never touches corpus vectors: it precomputes a
     (subspace, code) -> partial-d2 lookup table and scores every
     corpus row as the SUM of n_sub table lookups.
@@ -372,18 +374,23 @@ def pq_adc_topk(
             out, "p.m", "p.sq"
         )
 
-    # codebook: (m, code, bq); code = position of the id in codeword_ids
-    code_expr = F.col("_cwid")
-    mapping = F.lit(None).cast("int")
-    for idx, cid in enumerate(codeword_ids):
-        mapping = F.when(code_expr == cid, idx).otherwise(mapping)
-    book = (
-        _subs(
-            corpus.filter(F.col(id_col).isin(list(codeword_ids))), id_col, "_cwid"
+    if (codeword_ids is None) == (codebook is None):
+        raise ValueError("pass exactly one of codeword_ids / codebook")
+    if codebook is not None:
+        book = codebook.select("m", "code", "bq")
+    else:
+        # codebook: (m, code, bq); code = position in codeword_ids
+        code_expr = F.col("_cwid")
+        mapping = F.lit(None).cast("int")
+        for idx, cid in enumerate(codeword_ids):
+            mapping = F.when(code_expr == cid, idx).otherwise(mapping)
+        book = (
+            _subs(
+                corpus.filter(F.col(id_col).isin(list(codeword_ids))), id_col, "_cwid"
+            )
+            .withColumn("code", mapping)
+            .select("m", "code", F.col("sq").alias("bq"))
         )
-        .withColumn("code", mapping)
-        .select("m", "code", F.col("sq").alias("bq"))
-    )
 
     codes = (
         _subs(corpus, id_col, "nid")

@@ -1236,40 +1236,48 @@ ORDER BY r.source, r.sample_rk
 """
 
 
-def _kmeans_prelude() -> str:
-    """The llm_kmeans unrolled-iteration CTE chain (k-prefixed to
+def _kmeans_prelude(
+    prefix: str = "k",
+    ids: list[int] | None = None,
+    dim: int | None = None,
+    vec_expr: str | None = None,
+) -> str:
+    """The llm_kmeans unrolled-iteration CTE chain ({prefix}-named to
     avoid name capture), ending with the trained centroid table
-    kc{KMEANS_ITERS} — shared by the train-then-assign oracles
-    (llm_semdedup_trained, llm_ann_ivf_trained)."""
-    ids = ", ".join(str(i) for i in KMEANS_INIT_IDS)
+    {prefix}c{KMEANS_ITERS} — shared by the train-then-assign oracles
+    (llm_semdedup_trained, llm_ann_ivf_trained, and per-subspace with
+    ``vec_expr`` a list slice, llm_ann_pq_trained)."""
+    ids_s = ", ".join(str(i) for i in (KMEANS_INIT_IDS if ids is None else ids))
+    dim = EMB_DIM if dim is None else dim
+    vec = vec_expr or "embedding"
     d2 = (
         f"CAST(list_sum([(a.q[i]-c.c[i])*(a.q[i]-c.c[i]) "
-        f"for i in range(1, {EMB_DIM + 1})]) AS BIGINT)"
+        f"for i in range(1, {dim + 1})]) AS BIGINT)"
     )
     assign = """
-ka{t} AS (
+{P}a{t} AS (
   SELECT vid, q, cluster, d2 FROM (
     SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cluster ASC) AS rn
-    FROM (SELECT a.vid, a.q, c.cluster, {d2} AS d2 FROM kq a CROSS JOIN kc{p} c))
+    FROM (SELECT a.vid, a.q, c.cluster, {d2} AS d2 FROM {P}q a CROSS JOIN {P}c{p} c))
   WHERE rn = 1
 )"""
     update = """
-kpd{t} AS (
+{P}pd{t} AS (
   SELECT cluster, u.i AS dim, sum(q[u.i]) AS s, count(*) AS n
-  FROM ka{t} CROSS JOIN LATERAL (SELECT unnest(range(1, {dplus})) AS i) u
+  FROM {P}a{t} CROSS JOIN LATERAL (SELECT unnest(range(1, {dplus})) AS i) u
   GROUP BY cluster, u.i
 ),
-kc{t} AS (SELECT cluster, list(s // n ORDER BY dim) AS c FROM kpd{t} GROUP BY cluster)"""
+{P}c{t} AS (SELECT cluster, list(s // n ORDER BY dim) AS c FROM {P}pd{t} GROUP BY cluster)"""
     parts = []
     for t in range(1, KMEANS_ITERS + 1):
-        parts.append(assign.format(t=t, p=t - 1, d2=d2))
-        parts.append(update.format(t=t, dplus=EMB_DIM + 1))
-    return f"""kq AS (
+        parts.append(assign.format(t=t, p=t - 1, d2=d2, P=prefix))
+        parts.append(update.format(t=t, dplus=dim + 1, P=prefix))
+    return f"""{prefix}q AS (
   SELECT vec_id AS vid,
-         [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
+         [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in {vec}] AS q
   FROM embeddings
 ),
-kc0 AS (SELECT vid AS cluster, q AS c FROM kq WHERE vid IN ({ids})),{",".join(parts)}"""
+{prefix}c0 AS (SELECT vid AS cluster, q AS c FROM {prefix}q WHERE vid IN ({ids_s})),{",".join(parts)}"""
 
 
 def _semdedup_trained_sql() -> str:
@@ -1398,8 +1406,119 @@ QUERIES["llm_semdedup"] = q_semdedup
 ORACLE_SQL["llm_semdedup"] = _semdedup_sql()
 QUERIES["llm_semdedup_trained"] = q_semdedup_trained
 ORACLE_SQL["llm_semdedup_trained"] = _semdedup_trained_sql()
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained per-subspace PQ codebook (the third train-then-assign
+    composition, completing the set with llm_semdedup_trained and
+    llm_ann_ivf_trained): for each of the PQ_N_SUB subspaces,
+    kmeans_train runs the llm_kmeans Lloyd iterations over that
+    subspace's raw subvector slices seeded at PQ_CODEWORD_IDS, and
+    the union of the four trained (m, code, bq) tables replaces
+    llm_ann_pq's seeded codeword rows in pq_adc_topk. Slicing
+    commutes with elementwise quantization, so the trained
+    sub-centroids live in exactly the space the encoder measures
+    distances in. Same plan shape: the K*n_sub-row codebook
+    broadcasts for encode and LUT build; the corpus never shuffles
+    until the final per-query top-k."""
+    from functools import reduce
+
+    from ..operators.kmeans import kmeans_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sub_dim = EMB_DIM // PQ_N_SUB
+    code_map = F.lit(None).cast("int")
+    for idx, cid in enumerate(PQ_CODEWORD_IDS):
+        code_map = F.when(F.col("cluster") == cid, idx).otherwise(code_map)
+    books = []
+    for m in range(PQ_N_SUB):
+        sub = e.select(
+            "vec_id", F.slice("embedding", sub_dim * m + 1, sub_dim).alias("embedding")
+        )
+        cents = kmeans_train(
+            sub, "vec_id", "embedding", PQ_CODEWORD_IDS, iters=KMEANS_ITERS
+        )
+        books.append(
+            cents.select(
+                F.lit(m).alias("m"), code_map.alias("code"), F.col("c").alias("bq")
+            )
+        )
+    book = reduce(lambda a, b: a.unionAll(b), books)
+    return pq_adc_topk(
+        corpus=e,
+        queries=e.filter(F.col("vec_id") < N_QUERY_VECS),
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        n_sub=PQ_N_SUB,
+        k=3,
+        codebook=book,
+    ).orderBy("query_id", "neighbor_id")
+
+
+def _pq_trained_sql() -> str:
+    sub_dim = EMB_DIM // PQ_N_SUB
+    case = " ".join(
+        f"WHEN {cid} THEN {idx}" for idx, cid in enumerate(PQ_CODEWORD_IDS)
+    )
+    d2 = f"list_sum([(s.sq[i] - b.bq[i]) * (s.sq[i] - b.bq[i]) for i in range(1, {sub_dim + 1})])"
+    preludes = ",\n".join(
+        _kmeans_prelude(
+            prefix=f"s{m}",
+            ids=list(PQ_CODEWORD_IDS),
+            dim=sub_dim,
+            vec_expr=f"embedding[{m * sub_dim + 1}:{(m + 1) * sub_dim}]",
+        )
+        for m in range(PQ_N_SUB)
+    )
+    book_union = "\n  UNION ALL\n".join(
+        f"  SELECT {m} AS m, CASE cluster {case} END AS code, c AS bq "
+        f"FROM s{m}c{KMEANS_ITERS}"
+        for m in range(PQ_N_SUB)
+    )
+    return f"""
+WITH {preludes},
+q0 AS (
+  SELECT vec_id, {_IVF_QUANT} AS q FROM embeddings
+),
+ms AS (SELECT unnest([{", ".join(str(m) for m in range(PQ_N_SUB))}]) AS m),
+subs AS (
+  SELECT vec_id, m, q[m * {sub_dim} + 1 : m * {sub_dim} + {sub_dim}] AS sq
+  FROM q0 CROSS JOIN ms
+),
+book AS (
+{book_union}
+),
+enc AS (
+  SELECT s.vec_id AS nid, s.m, b.code, {d2} AS d2
+  FROM subs s JOIN book b USING (m)
+),
+codes AS (
+  SELECT nid, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY nid, m ORDER BY d2, code) AS rn FROM enc
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS query_id, s.m, b.code, {d2} AS d2
+  FROM subs s JOIN book b USING (m)
+  WHERE s.vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT l.query_id, c.nid, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code AND c.nid != l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, nid) AS rn
+  FROM scored
+)
+SELECT query_id, nid AS neighbor_id, adc_d2
+FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
+"""
+
+
 QUERIES["llm_ann_ivf_trained"] = q_ann_ivf_trained
 ORACLE_SQL["llm_ann_ivf_trained"] = _ivf_trained_sql()
+QUERIES["llm_ann_pq_trained"] = q_ann_pq_trained
+ORACLE_SQL["llm_ann_pq_trained"] = _pq_trained_sql()
 QUERIES["llm_chunk_overlap"] = q_chunk_overlap
 ORACLE_SQL["llm_chunk_overlap"] = SQL_CHUNK_OVERLAP
 QUERIES["llm_mixture_sample"] = q_mixture_sample

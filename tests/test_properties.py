@@ -115,3 +115,37 @@ def test_ppjoin_filters_lossless_vs_naive(spark):
     pp = norm(ngram_jaccard_pairs_prefix(df, "doc_id", "shingles", threshold=0.8))
     assert len(naive) > 0  # the perturbation must actually create pairs
     assert pp == naive
+
+
+def test_ppjoin_exact_threshold_boundary(spark):
+    """Deterministic boundary cases for the PPJoin exactness contract:
+    pairs at EXACTLY J = t must survive every filter. The (4,5)-size
+    pair doubles as a regression test for the FP-ceil fix — t*|B| =
+    4.0 exactly, and a ceil that rounds the double product up would
+    over-tighten the length filter and drop the pair."""
+    from map_reduce_for_dbpl_dataset_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    rows = [
+        # J(1,2) = 8/10 = 0.8 exactly (sizes 9, 9)
+        (1, [f"w{i}" for i in range(8)] + ["only_a"]),
+        (2, [f"w{i}" for i in range(8)] + ["only_b"]),
+        # J(3,4) = 4/5 = 0.8 exactly (sizes 4, 5; t*sz integer both ways)
+        (3, ["a", "b", "c", "d"]),
+        (4, ["a", "b", "c", "d", "e"]),
+        # J(5,6) = 7/11 < 0.8: must be pruned/dropped
+        (5, [f"u{i}" for i in range(7)] + ["p", "q"]),
+        (6, [f"u{i}" for i in range(7)] + ["r", "s"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+
+    def norm(out):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in out.collect()
+        )
+
+    expected = [(1, 2, 0.8), (3, 4, 0.8)]
+    assert norm(ngram_jaccard_pairs(df, "doc_id", "shingles", 0.8)) == expected
+    assert norm(ngram_jaccard_pairs_prefix(df, "doc_id", "shingles", 0.8)) == expected

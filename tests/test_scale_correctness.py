@@ -38,6 +38,8 @@ SCALE_QUERIES = [
     "llm_token_rarity",
     "dblp_coauthor_components_star",
     "dblp_coauthor_triangles",
+    "llm_bigram_lm_score",
+    "llm_semdedup_trained",
 ]
 
 TABLES = (

@@ -225,6 +225,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
         ("centroid update partial-aggregated", "partial_sum"),
     ],
+    "llm_ann_pq_trained": [
+        # per-subspace trained PQ codebook, seeded variant's plan
+        # shape: codebook/LUT broadcast, encode argmin partial-agg
+        ("codebook/LUT broadcast", "BroadcastExchange"),
+        ("no cartesian", "!CartesianProduct"),
+        ("encode argmin partial-aggregated", "partial_min"),
+    ],
 }
 
 # Hand-written analysis that survives regeneration: emitted verbatim
@@ -289,6 +296,16 @@ centroid_vec_col/centroids_pre_quantized; plan shape is the seeded
 variant's — codebook broadcasts for assignment and probing, the only
 shuffle is the cell-id candidate join. Oracle = kmeans prelude CTEs
 chained into the IVF SQL, hash-exact.""",
+    "llm_ann_pq_trained": """\
+**Per-subspace trained PQ codebook** (completes the train-then-assign
+set): kmeans_train runs once per subspace over raw subvector slices
+(slicing commutes with elementwise quantization, so the trained
+sub-centroids live in the encoder's distance space), and the union of
+the four (m, code, bq) tables replaces the seeded codeword rows in
+pq_adc_topk. The oracle chains four s{m}-prefixed kmeans preludes
+into the PQ SQL — hash-exact. With this, none of the
+SemDeDup/IVF/PQ codebooks is seeded-only anymore; every 'production
+trains them' docstring has a live trained twin.""",
 }
 
 
