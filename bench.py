@@ -46,6 +46,11 @@ HEADLINE = [
     # every round so their scale-safe formulations stay honest)
     "dblp_coauthor_components_star",
     "tpch_window_ntile",
+    # round-5 additions (new slots; the 15 slots above stay unchanged
+    # for round-over-round comparability): the train-then-assign
+    # composition and the bigram-LM corpus scoring pass
+    "llm_semdedup_trained",
+    "llm_bigram_lm_score",
 ]
 
 

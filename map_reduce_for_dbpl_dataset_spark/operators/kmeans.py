@@ -92,6 +92,24 @@ def kmeans_train(
     return cents
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    scale: int = 1000,
+) -> DataFrame:
+    """Assign every corpus row to its nearest centroid from a trained
+    (cluster, c) table (kmeans_train output): broadcast K-row join,
+    exact integer distances, ties to the lower cluster id. Returns
+    (id_col, cluster) — the consumer-facing assignment surface used
+    by compositions like llm_cluster_top_terms."""
+    q = corpus.select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
+    )
+    return _assign(q, centroids).select(F.col("vid").alias(id_col), "cluster")
+
+
 def kmeans_fixed(
     corpus: DataFrame,
     id_col: str,

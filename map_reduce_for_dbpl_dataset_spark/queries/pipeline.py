@@ -1517,8 +1517,91 @@ FROM ranked WHERE rn <= 3 ORDER BY query_id, neighbor_id
 
 QUERIES["llm_ann_ivf_trained"] = q_ann_ivf_trained
 ORACLE_SQL["llm_ann_ivf_trained"] = _ivf_trained_sql()
+CLUSTER_TOP_K = 3
+
+
+def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling by class-based TF-IDF (the BERTopic c-TF-IDF
+    idea): train the coarse codebook (kmeans_train), assign each
+    embedding to its cluster (kmeans_assign, broadcast join), attach
+    the documents sharing the vector's id, and surface each cluster's
+    top terms by a term-frequency x inverse-cluster-frequency score.
+    The corpus-auditing composition — "what is each corpus region
+    about" — built entirely from already-certified pieces.
+
+    Integer-exact scoring: idf is the LINEAR form K/df_clusters
+    rather than a log (a float log differs across engines in the last
+    ulp; the linear form is the same monotone ranking for K=4 and
+    keeps score_micro = tf * 1e6 * K div df_clusters exact).
+
+    Scale: assignment broadcasts the K-row codebook; (cluster, term)
+    tf is one partial-agg groupBy; cluster-df derives FROM the tf
+    table (vocabulary-sized, not corpus-sized); per-cluster top-k is
+    a WindowGroupLimit over K partitions."""
+    from ..operators.kmeans import kmeans_assign, kmeans_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_train(e, "vec_id", "embedding", KMEANS_INIT_IDS, iters=KMEANS_ITERS)
+    assigned = kmeans_assign(e, "vec_id", "embedding", cents)
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.join(assigned, d["doc_id"] == assigned["vec_id"]).select(
+        "cluster", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = docs.groupBy("cluster", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_clusters"))
+    k_lit = len(KMEANS_INIT_IDS)
+    scored = tf.join(dfc, "tok").withColumn(
+        "score_micro", F.expr(f"(tf * 1000000 * {k_lit}) div df_clusters")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("score_micro"), F.asc("tok"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= CLUSTER_TOP_K)
+        .select("cluster", "tok", "tf", "df_clusters", "score_micro")
+        .orderBy("cluster", F.desc("score_micro"), "tok")
+    )
+
+
+def _cluster_top_terms_sql() -> str:
+    d2 = (
+        f"CAST(list_sum([(a.q[i]-c.c[i])*(a.q[i]-c.c[i]) "
+        f"for i in range(1, {EMB_DIM + 1})]) AS BIGINT)"
+    )
+    k_lit = len(KMEANS_INIT_IDS)
+    return f"""
+WITH {_kmeans_prelude()},
+fa AS (
+  SELECT vid, cluster FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM (SELECT a.vid, c.cluster, {d2} AS d2 FROM kq a CROSS JOIN kc{KMEANS_ITERS} c))
+  WHERE rn = 1
+),
+docs AS (
+  SELECT f.cluster,
+         unnest(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents d JOIN fa f ON f.vid = d.doc_id
+),
+tf AS (SELECT cluster, tok, count(*) AS tf FROM docs GROUP BY 1, 2),
+dfc AS (SELECT tok, count(*) AS df_clusters FROM tf GROUP BY tok),
+scored AS (
+  SELECT cluster, tok, tf, df_clusters,
+         (tf * 1000000 * {k_lit}) // df_clusters AS score_micro
+  FROM tf JOIN dfc USING (tok)
+)
+SELECT cluster, tok, tf, df_clusters, score_micro
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+                               ORDER BY score_micro DESC, tok ASC) AS rn
+  FROM scored
+) WHERE rn <= {CLUSTER_TOP_K}
+ORDER BY cluster, score_micro DESC, tok
+"""
+
+
 QUERIES["llm_ann_pq_trained"] = q_ann_pq_trained
 ORACLE_SQL["llm_ann_pq_trained"] = _pq_trained_sql()
+QUERIES["llm_cluster_top_terms"] = q_cluster_top_terms
+ORACLE_SQL["llm_cluster_top_terms"] = _cluster_top_terms_sql()
 QUERIES["llm_chunk_overlap"] = q_chunk_overlap
 ORACLE_SQL["llm_chunk_overlap"] = SQL_CHUNK_OVERLAP
 QUERIES["llm_mixture_sample"] = q_mixture_sample

@@ -40,6 +40,8 @@ SCALE_QUERIES = [
     "dblp_coauthor_triangles",
     "llm_bigram_lm_score",
     "llm_semdedup_trained",
+    "llm_ann_pq_trained",
+    "llm_cluster_top_terms",
 ]
 
 TABLES = (

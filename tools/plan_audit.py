@@ -232,6 +232,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
         ("encode argmin partial-aggregated", "partial_min"),
     ],
+    "llm_cluster_top_terms": [
+        # c-TF-IDF labeling: codebook broadcast for assignment,
+        # term counts partial-aggregated, per-cluster top-k limited
+        # before the exchange
+        ("codebook broadcast (corpus never shuffles to assign)", "BroadcastExchange"),
+        ("term counts partial-aggregated", "partial_count"),
+        ("per-cluster top-k limited pre-exchange", "WindowGroupLimit"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
 }
 
 # Hand-written analysis that survives regeneration: emitted verbatim
