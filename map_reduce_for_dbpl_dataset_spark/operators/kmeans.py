@@ -44,13 +44,20 @@ def dist2_q(a, b):
 
 def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per vector (exact integer distance, ties to
-    the lower cluster id)."""
+    the lower cluster id). The argmin is a PARTIAL-AGGREGABLE
+    min(struct(d2, cluster)) — lexicographic struct ordering gives
+    exactly (d2 asc, cluster asc) — rather than a row_number window:
+    the K-fanned scored table combines map-side instead of sorting
+    corpus*K rows per vid partition. q is functionally dependent on
+    vid, so any_value is deterministic."""
     scored = q.join(F.broadcast(cents)).withColumn("d2", dist2_q(F.col("q"), F.col("c")))
-    w = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("cluster"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vid", "q", "cluster", "d2")
+        scored.groupBy("vid")
+        .agg(
+            F.min(F.struct("d2", "cluster")).alias("_b"),
+            F.any_value("q").alias("q"),
+        )
+        .select("vid", "q", F.col("_b.cluster").alias("cluster"), F.col("_b.d2").alias("d2"))
     )
 
 
@@ -67,29 +74,55 @@ def kmeans_train(
     (cluster, c) — the coarse codebook consumed by
     similarity.semdedup / similarity.ivf_topk in place of their
     seeded-by-id centroid rows."""
-    q = corpus.select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
+    # Spread + pin the quantized corpus for the duration of training:
+    # every Lloyd iteration re-reads it (assignment + update), the
+    # per-iteration centroid checkpoint makes each iteration an
+    # action, and a small input file may scan as 1-2 splits (parquet
+    # can't split below a row group), serializing the per-dim sums.
+    # One explicit shuffle to shuffle.partitions + a persist bounds
+    # the rescans to one; unpersisted before returning.
+    n_shuffle = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    q = (
+        corpus.select(
+            F.col(id_col).alias("vid"), quantize(F.col(vec_col), scale).alias("q")
+        )
+        .repartition(n_shuffle)
+        .persist()
     )
     cents = q.filter(F.col("vid").isin(list(init_ids))).select(
         F.col("vid").alias("cluster"), F.col("q").alias("c")
     )
     for _ in range(iters):
-        assigned = _assign(q, cents)
-        ex = assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
-        per_dim = ex.groupBy("cluster", "dim").agg(
-            F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
-        )
-        cents = (
-            per_dim.withColumn("cv", F.expr("s div n"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                    lambda st: st.cv,
-                ).alias("c")
-            )
-        )
+        # materialize the K-row table per iteration: each Lloyd step
+        # is a natural barrier, and without the cut every DOWNSTREAM
+        # use of the trained centroids (assignment, probe, pairwise
+        # verify branches) re-executes the whole training chain —
+        # measured 3x recompute in the SemDeDup composition. K rows,
+        # so the checkpoint is free. The pre-checkpoint plan is
+        # audited via _update_centroids (tools/plan_audit.py
+        # kmeans_iteration[pre-checkpoint]).
+        cents = _update_centroids(_assign(q, cents)).localCheckpoint(eager=True)
+    q.unpersist()
     return cents
+
+
+def _update_centroids(assigned: DataFrame) -> DataFrame:
+    """One Lloyd centroid update: posexplode to (cluster, dim, val),
+    ONE partial-agg groupBy over K*dim cells, K-row rebuild."""
+    ex = assigned.select("cluster", F.posexplode("q").alias("dim", "val"))
+    per_dim = ex.groupBy("cluster", "dim").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.withColumn("cv", F.expr("s div n"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda st: st.cv,
+            ).alias("c")
+        )
+    )
 
 
 def kmeans_assign(

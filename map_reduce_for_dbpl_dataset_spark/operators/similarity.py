@@ -28,6 +28,11 @@ from ..functions.vectors import cosine_q, dot_q, norm2_q, quantize
 # shifted to be sign-balanced. Reproducible in SQL as
 # ((1103515245 * (j*dim + i) + 12345) % 2147483648) % 1001 - 500.
 N_PLANES = 8
+
+# Spread factor for quadratic within-cluster pair enumeration (see
+# semdedup): pairs shuffle on (cluster, salt) instead of cluster
+# alone, so the fan-out parallelizes past the cluster count.
+PAIR_SALT = 32
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
 
 
@@ -170,23 +175,35 @@ def semdedup(
         cents = c.filter(F.col("_id").isin(list(centroid_ids))).select(
             F.col("_id").alias("_cell"), F.col("_q").alias("_kq"), F.col("_n2").alias("_kn2")
         )
-    scored = c.join(F.broadcast(cents)).withColumn(
-        "_cos", cosine_q(dot_q(F.col("_q"), F.col("_kq")), F.col("_n2"), F.col("_kn2"))
-    )
-    w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("_cell"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_id", "_q", "_n2", F.col("_cell").alias("cluster"))
-    )
-    lo = assigned.select(
-        "cluster", F.col("_id").alias("_lo"), F.col("_q").alias("_ql"), F.col("_n2").alias("_nl")
+    # lineage cut (lazy, graph.py pattern): the assignment feeds
+    # THREE consumers (both sides of the within-cluster pair join and
+    # the final labeling join) — without it the broadcast centroid
+    # scoring re-executes per consumer. The pre-checkpoint plan is
+    # audited via _semdedup_assigned (tools/plan_audit.py
+    # semdedup_assign[pre-checkpoint]).
+    assigned = _semdedup_assigned(c, cents).localCheckpoint(eager=False)
+    # Within-cluster pair enumeration, SALTED: a bare join on cluster
+    # id has as many shuffle keys as clusters, and AQE coalesces that
+    # exchange by its (tiny) INPUT size — blind to the quadratic
+    # fan-out — so the sum-cluster^2 cosine work lands on a handful
+    # of tasks (measured: 13M pairs in 3 tasks at the sf1 scale
+    # point). Salting the hi side and replicating the lo side spreads
+    # each cluster's pairs over PAIR_SALT keys: identical pair set,
+    # PAIR_SALT x the parallelism, lo-side duplication bounded at
+    # PAIR_SALT x corpus rows.
+    lo = (
+        assigned.select(
+            "cluster", F.col("_id").alias("_lo"), F.col("_q").alias("_ql"), F.col("_n2").alias("_nl")
+        )
+        .withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(PAIR_SALT)]))
+        )
     )
     hi = assigned.select(
         "cluster", F.col("_id").alias("_hi"), F.col("_q").alias("_qh"), F.col("_n2").alias("_nh")
-    )
+    ).withColumn("_salt", F.pmod(F.xxhash64(F.col("_hi")), F.lit(PAIR_SALT)).cast("int"))
     dominated = (
-        lo.join(hi, "cluster")
+        lo.join(hi, ["cluster", "_salt"])
         .filter(F.col("_lo") < F.col("_hi"))
         .withColumn(
             "_pcos", cosine_q(dot_q(F.col("_ql"), F.col("_qh")), F.col("_nl"), F.col("_nh"))
@@ -200,6 +217,21 @@ def semdedup(
         .select(
             F.col("_id").alias(id_col), "cluster", F.col("_dup").isNull().alias("kept")
         )
+    )
+
+
+def _semdedup_assigned(c: DataFrame, cents: DataFrame) -> DataFrame:
+    """SemDeDup cell assignment: broadcast the K-row codebook against
+    the quantized corpus, argmax cosine with ties to the lower cell.
+    Split out so the plan is auditable pre-checkpoint."""
+    scored = c.join(F.broadcast(cents)).withColumn(
+        "_cos", cosine_q(dot_q(F.col("_q"), F.col("_kq")), F.col("_n2"), F.col("_kn2"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("_cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_q", "_n2", F.col("_cell").alias("cluster"))
     )
 
 

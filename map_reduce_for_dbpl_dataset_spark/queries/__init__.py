@@ -191,11 +191,16 @@ _LAST_CHECKED: dict[str, int] = {
 
 # Queries whose implementations materially changed since their last
 # green driver row.  Round-5 entries: the PPJoin plan gained the
-# PPJoin+ refinements this round (its r4 green row certified the
-# pre-refinement plan), so it re-enters the window ahead of the
-# staleness tiers.
+# PPJoin+ refinements (its r4 green row certified the pre-refinement
+# plan); kmeans switched its argmin to a partial-aggregable
+# min(struct) with per-iteration centroid checkpoints and a pinned
+# training corpus; SemDeDup gained the salted within-cluster pair
+# join and an assignment lineage cut.  All re-enter the window ahead
+# of the staleness tiers.
 _CHANGED: list[str] = [
+    "llm_kmeans",
     "llm_ngram_jaccard_prefix",
+    "llm_semdedup",
 ]
 
 

@@ -998,6 +998,35 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# SemDeDup's own scaling law: within-cluster pair work is sum of
+# cluster^2, so the centroid count must SCALE WITH THE CORPUS (the
+# paper trains ~110k centroids for LAION). K=4 (the llm_kmeans seeds)
+# is the oracle-matching demonstrator; the K=32 variant is the same
+# composition at the operating point a 10x corpus needs — measured at
+# the sf1 scale point, freezing K=4 while the corpus 10xed costs
+# ~100x pair work (154 s), while K=32 restores it (~8x fewer pairs
+# AND 8x more shuffle-key parallelism).
+SEMDEDUP_K32_IDS = list(range(30, 62))
+
+
+def _semdedup_trained(
+    spark: SparkSession, sf_dir: str, init_ids: list[int]
+) -> DataFrame:
+    from ..operators.kmeans import kmeans_train
+    from ..operators.similarity import semdedup
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_train(e, "vec_id", "embedding", init_ids, iters=KMEANS_ITERS)
+    corpus = _augmented_embeddings(e)
+    return semdedup(
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=SEMDEDUP_THRESHOLD,
+        centroids=cents,
+    ).orderBy("vec_id")
+
+
 def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-assign composition (round-4 verdict #3): the SemDeDup
     coarse codebook is TRAINED — operators/kmeans.py kmeans_train runs
@@ -1010,19 +1039,17 @@ def q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid CTE into the semdedup SQL — exact hash equality end to
     end, closing the 'production trains them' caveat with a live
     demonstration."""
-    from ..operators.kmeans import kmeans_train
-    from ..operators.similarity import semdedup
+    return _semdedup_trained(spark, sf_dir, KMEANS_INIT_IDS)
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_train(e, "vec_id", "embedding", KMEANS_INIT_IDS, iters=KMEANS_ITERS)
-    corpus = _augmented_embeddings(e)
-    return semdedup(
-        corpus,
-        "vec_id",
-        "embedding",
-        threshold=SEMDEDUP_THRESHOLD,
-        centroids=cents,
-    ).orderBy("vec_id")
+
+def q_semdedup_trained_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scaled operating point of llm_semdedup_trained
+    (K=32 trained centroids — see the scaling-law comment above):
+    identical composition and oracle construction, 8x smaller
+    clusters, so the within-cluster pair stage carries ~1/8 the pairs
+    across 8x more shuffle keys. This is the variant the bench times
+    at the sf1 scale point."""
+    return _semdedup_trained(spark, sf_dir, SEMDEDUP_K32_IDS)
 
 
 def _semdedup_sql() -> str:
@@ -1280,16 +1307,16 @@ def _kmeans_prelude(
 {prefix}c0 AS (SELECT vid AS cluster, q AS c FROM {prefix}q WHERE vid IN ({ids_s})),{",".join(parts)}"""
 
 
-def _semdedup_trained_sql() -> str:
-    """llm_semdedup_trained oracle: the kmeans prelude feeding its
-    final centroid table into the llm_semdedup SQL in place of the
-    seeded centroid rows."""
+def _semdedup_trained_sql(ids: list[int] | None = None) -> str:
+    """llm_semdedup_trained[_k32] oracle: the kmeans prelude feeding
+    its final centroid table into the llm_semdedup SQL in place of
+    the seeded centroid rows."""
     dot = "CAST(list_sum([{a}.q[i] * {b}.q[i] for i in range(1, %d)]) AS DOUBLE)" % (
         EMB_DIM + 1
     )
     cos = dot + " / sqrt(CAST({a}.n2 AS DOUBLE) * CAST({b}.n2 AS DOUBLE))"
     return f"""
-WITH {_kmeans_prelude()},
+WITH {_kmeans_prelude(ids=ids)},
 cents AS (
   SELECT cluster AS cell, c AS q,
          CAST(list_sum([x * x for x in c]) AS BIGINT) AS n2
@@ -1406,6 +1433,8 @@ QUERIES["llm_semdedup"] = q_semdedup
 ORACLE_SQL["llm_semdedup"] = _semdedup_sql()
 QUERIES["llm_semdedup_trained"] = q_semdedup_trained
 ORACLE_SQL["llm_semdedup_trained"] = _semdedup_trained_sql()
+QUERIES["llm_semdedup_trained_k32"] = q_semdedup_trained_k32
+ORACLE_SQL["llm_semdedup_trained_k32"] = _semdedup_trained_sql(SEMDEDUP_K32_IDS)
 def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained per-subspace PQ codebook (the third train-then-assign
     composition, completing the set with llm_semdedup_trained and

@@ -39,7 +39,12 @@ SCALE_QUERIES = [
     "dblp_coauthor_components_star",
     "dblp_coauthor_triangles",
     "llm_bigram_lm_score",
-    "llm_semdedup_trained",
+    # the K-scaled SemDeDup variant: same composition/oracle as
+    # llm_semdedup_trained (K=4, driver-checked at sf0.01) but the
+    # cluster count a 10x corpus needs — sum-cluster^2 pair work
+    # makes the frozen-K=4 variant ~10x slower here for the same
+    # semantics
+    "llm_semdedup_trained_k32",
     "llm_ann_pq_trained",
     "llm_cluster_top_terms",
 ]

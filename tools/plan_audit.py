@@ -162,11 +162,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no single-partition window", "!Exchange SinglePartition"),
     ],
     "llm_semdedup": [
-        # K-row centroid table joined keyless under broadcast (same
-        # intended plan as kmeans assignment); the near-dup pair join
-        # must stay an equi-join on cluster id
-        ("centroid table broadcast", "BroadcastNestedLoopJoin"),
+        # assignment broadcast now sits behind the lineage cut —
+        # audited by semdedup_assign[pre-checkpoint]; the near-dup
+        # pair join must stay an equi-join (on cluster + salt)
         ("no cartesian", "!CartesianProduct"),
+        ("salted pair enumeration (xxhash salt keys)", "xxhash64"),
     ],
     "llm_chunk_overlap": [
         # narrow map stage: the scan reads exactly (doc_id, text) and
@@ -212,18 +212,24 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("thresholds broadcast back (no corpus re-shuffle)", "BroadcastHashJoin"),
     ],
     "llm_semdedup_trained": [
-        # train-then-assign composition: both the Lloyd assignment and
-        # the SemDeDup cell assignment broadcast the K-row codebook
-        ("codebook broadcast (corpus never shuffles to assign)", "BroadcastExchange"),
+        # training + assignment broadcasts sit behind checkpoints —
+        # audited by kmeans_iteration/semdedup_assign[pre-checkpoint]
         ("no cartesian", "!CartesianProduct"),
-        ("centroid update partial-aggregated", "partial_sum"),
+        ("salted pair enumeration (xxhash salt keys)", "xxhash64"),
+    ],
+    "llm_semdedup_trained_k32": [
+        # the corpus-scaled K variant timed at the scale point; same
+        # shape plus the salted pair enumeration
+        ("no cartesian", "!CartesianProduct"),
+        ("salted pair enumeration (xxhash salt keys)", "xxhash64"),
     ],
     "llm_ann_ivf_trained": [
         # trained coarse quantizer, same IVF plan shape as the seeded
         # variant: codebook broadcasts, candidate join stays equi
+        # (training itself sits behind the per-iteration checkpoint —
+        # audited by kmeans_iteration[pre-checkpoint])
         ("codebook broadcast (corpus never shuffles to assign)", "BroadcastExchange"),
         ("no cartesian", "!CartesianProduct"),
-        ("centroid update partial-aggregated", "partial_sum"),
     ],
     "llm_ann_pq_trained": [
         # per-subspace trained PQ codebook, seeded variant's plan
@@ -296,7 +302,25 @@ corpus never shuffles to assign — and the oracle unrolls the
 training iterations as CTEs feeding the semdedup SQL, so the
 composition is hash-exact end to end. This closes the 'production
 trains them' caveat on the seeded SemDeDup/IVF codebooks with a
-live demonstration.""",
+live demonstration.
+
+**SemDeDup scaling law, measured at the sf1 scale point** (round-5
+bench investigation): within-cluster pair work is sum-cluster^2, so
+the centroid count must scale with the corpus (the SemDeDup paper
+trains ~110k centroids for LAION). Freezing K=4 while the corpus
+10xed cost ~100x pair work — 154 s at sf1 vs 6.9 s at sf0.1. Three
+fixes, all semantics-preserving (oracles still hash-exact): (1)
+per-iteration centroid checkpoints + a pinned training corpus (the
+trained-centroid DAG was re-executed by each of the three downstream
+consumers); (2) the Lloyd argmin as a partial-aggregable min(struct)
+instead of a corpus*K row_number window; (3) SALTED pair enumeration
+— a bare cluster-key join has only K shuffle keys and AQE coalesces
+that exchange by its tiny INPUT size, blind to the quadratic
+fan-out, so 13M cosine evaluations landed on 3 tasks; salting
+spreads each cluster's pairs over (cluster, salt) keys. With K=32
+(llm_semdedup_trained_k32, the corpus-scaled operating point the
+bench times) sf1 lands at ~9 s; the K=4 oracle demonstrator drops
+154 s -> ~31 s from the same fixes.""",
     "llm_ann_ivf_trained": """\
 **Trained coarse quantizer** (sibling of llm_semdedup_trained): the
 IVF codebook comes from kmeans_train instead of seeded member rows.
@@ -331,6 +355,55 @@ def _lsh_sized_buckets_plan(spark, sf_dir):
     return lsh_sized_buckets(sigs, "doc_id")
 
 
+def _kmeans_iteration_plan(spark, sf_dir):
+    """Pre-checkpoint Lloyd iteration (assignment + centroid update):
+    the subtree hidden behind kmeans_train's per-iteration eager
+    checkpoint."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.functions.vectors import quantize
+    from map_reduce_for_dbpl_dataset_spark.operators.kmeans import (
+        _assign,
+        _update_centroids,
+    )
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.col("vec_id").alias("vid"), quantize(F.col("embedding"), 1000).alias("q")
+    )
+    cents = q.filter(F.col("vid").isin([30, 31, 32, 33])).select(
+        F.col("vid").alias("cluster"), F.col("q").alias("c")
+    )
+    return _update_centroids(_assign(q, cents))
+
+
+def _semdedup_assign_plan(spark, sf_dir):
+    """Pre-checkpoint SemDeDup cell assignment: the subtree hidden
+    behind semdedup's lazy lineage cut."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.functions.vectors import (
+        norm2_q,
+        quantize,
+    )
+    from map_reduce_for_dbpl_dataset_spark.operators.similarity import (
+        _semdedup_assigned,
+    )
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.select(
+        F.col("vec_id").alias("_id"), quantize(F.col("embedding"), 1000).alias("_q")
+    ).withColumn("_n2", norm2_q(F.col("_q")))
+    cents = c.filter(F.col("_id").isin([30, 31, 32, 33])).select(
+        F.col("_id").alias("_cell"),
+        F.col("_q").alias("_kq"),
+        F.col("_n2").alias("_kn2"),
+    )
+    return _semdedup_assigned(c, cents)
+
+
 # custom entries: (plan builder, checks) — for plans not reachable as a
 # whole registry query (e.g. subtrees behind a checkpoint boundary)
 CUSTOM_CHECKS: dict = {
@@ -339,6 +412,21 @@ CUSTOM_CHECKS: dict = {
         [
             ("single agg pass for signatures", "partial_min"),
             ("bucket-size window rides the bucketing shuffle", "Window"),
+        ],
+    ),
+    "kmeans_iteration[pre-checkpoint]": (
+        _kmeans_iteration_plan,
+        [
+            ("K-row centroid table broadcast", "BroadcastNestedLoopJoin"),
+            ("argmin partial-aggregated (min-struct, no window sort)", "partial_min"),
+            ("centroid update partial-aggregated", "partial_sum"),
+        ],
+    ),
+    "semdedup_assign[pre-checkpoint]": (
+        _semdedup_assign_plan,
+        [
+            ("K-row codebook broadcast (corpus never shuffles)", "BroadcastNestedLoopJoin"),
+            ("no cartesian", "!CartesianProduct"),
         ],
     ),
 }
