@@ -211,6 +211,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("sketch threshold partial-aggregated", "partial_approx_percentile"),
         ("thresholds broadcast back (no corpus re-shuffle)", "BroadcastHashJoin"),
     ],
+    "llm_bigram_lm_score": [
+        # bigram counts partial-aggregated; prefix masses derive from
+        # the (vocabulary-sized) count table, never a second corpus
+        # pass; no collect anywhere
+        ("bigram counts partial-aggregated", "partial_count"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
     "llm_semdedup_trained": [
         # training + assignment broadcasts sit behind checkpoints —
         # audited by kmeans_iteration/semdedup_assign[pre-checkpoint]
@@ -329,6 +336,15 @@ centroid_vec_col/centroids_pre_quantized; plan shape is the seeded
 variant's — codebook broadcasts for assignment and probing, the only
 shuffle is the cell-id candidate join. Oracle = kmeans prelude CTEs
 chained into the IVF SQL, hash-exact.""",
+    "llm_bigram_lm_score": """\
+**Scale profile** (round-5 bench): 1.46 s at sf0.1 -> 10.3 s at the
+sf1 scale point, whose tag-inflated text carries ~11.25x the bytes —
+sub-linear per byte. The shuffles key on the bigram STRINGS by
+design: the counts ARE the result here, so hashing the keys (the
+PPJoin trick) would trade exactness for shuffle width with no
+verification step to catch a collision; at 100 TB the right lever is
+a dictionary pass (bigram -> int id via the two-pass global rank)
+amortized per corpus snapshot, not a lossy hash.""",
     "llm_ann_pq_trained": """\
 **Per-subspace trained PQ codebook** (completes the train-then-assign
 set): kmeans_train runs once per subspace over raw subvector slices
