@@ -1629,8 +1629,88 @@ ORDER BY cluster, score_micro DESC, tok
 
 QUERIES["llm_ann_pq_trained"] = q_ann_pq_trained
 ORACLE_SQL["llm_ann_pq_trained"] = _pq_trained_sql()
+# --- semantic train/eval decontamination -------------------------------------
+# llm_decontaminate catches VERBATIM leakage (13-gram membership);
+# this catches paraphrase-level leakage: an eval item whose embedding
+# sits within cosine tau of ANY training vector is flagged. Exact
+# copies of the first DECON_SEM_PLANTS eval vectors are planted into
+# the train side at +400000 so flagged rows provably exist.
+DECON_SEM_TAU_MICRO = 950_000
+DECON_SEM_PLANTS = 3
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval-set decontamination: for every eval vector
+    (vec_id < N_QUERY_VECS), find its exact nearest train vector
+    (operators/similarity.py brute_force_topk, k=1 — eval side
+    broadcast, train corpus never shuffles) and flag cos >= tau.
+
+    Scale: the eval set is small by construction (that is what makes
+    it an eval set), so the broadcast-scan is the right baseline; at
+    100 TB train corpora swap in llm_ann_ivf/_pq's probed scan with
+    the same flagging tail. Output keeps the nearest id and score so
+    a flagged item is auditable, not just counted."""
+    from ..operators.similarity import brute_force_topk
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    evalv = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    planted = evalv.filter(F.col("vec_id") < DECON_SEM_PLANTS).select(
+        (F.col("vec_id") + 400000).alias("vec_id"), "embedding"
+    )
+    train = e.filter(F.col("vec_id") >= N_QUERY_VECS).unionAll(planted)
+    nearest = brute_force_topk(
+        corpus=train,
+        queries=evalv,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="vec_id",
+        k=1,
+    )
+    return (
+        nearest.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("neighbor_id").alias("nearest_train_id"),
+            "cos_micro",
+            (F.col("cos_micro") >= DECON_SEM_TAU_MICRO).alias("leaked"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_DECONTAMINATE_SEMANTIC = f"""
+WITH q0 AS (
+  SELECT vec_id, {_IVF_QUANT} AS q FROM embeddings
+),
+n AS (
+  SELECT vec_id, q, CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2 FROM q0
+),
+evalv AS (SELECT * FROM n WHERE vec_id < {N_QUERY_VECS}),
+train AS (
+  SELECT * FROM n WHERE vec_id >= {N_QUERY_VECS}
+  UNION ALL
+  SELECT vec_id + 400000, q, n2 FROM n WHERE vec_id < {DECON_SEM_PLANTS}
+),
+scored AS (
+  SELECT e.vec_id, t.vec_id AS nid,
+         CAST(list_sum([e.q[i] * t.q[i] for i in range(1, {EMB_DIM + 1})]) AS DOUBLE)
+           / sqrt(CAST(e.n2 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS cos
+  FROM evalv e CROSS JOIN train t
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, nid AS nearest_train_id,
+       CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro,
+       floor(cos * 1e6) >= {DECON_SEM_TAU_MICRO} AS leaked
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 QUERIES["llm_cluster_top_terms"] = q_cluster_top_terms
 ORACLE_SQL["llm_cluster_top_terms"] = _cluster_top_terms_sql()
+QUERIES["llm_decontaminate_semantic"] = q_decontaminate_semantic
+ORACLE_SQL["llm_decontaminate_semantic"] = SQL_DECONTAMINATE_SEMANTIC
 QUERIES["llm_chunk_overlap"] = q_chunk_overlap
 ORACLE_SQL["llm_chunk_overlap"] = SQL_CHUNK_OVERLAP
 QUERIES["llm_mixture_sample"] = q_mixture_sample

@@ -218,6 +218,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("bigram counts partial-aggregated", "partial_count"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "llm_decontaminate_semantic": [
+        # eval side broadcast; the train corpus never shuffles; per-
+        # eval nearest-1 limited before any exchange
+        ("eval set broadcast (train corpus never shuffles)", "BroadcastNestedLoopJoin"),
+        ("nearest-1 limited pre-exchange", "WindowGroupLimit"),
+    ],
     "llm_semdedup_trained": [
         # training + assignment broadcasts sit behind checkpoints —
         # audited by kmeans_iteration/semdedup_assign[pre-checkpoint]
