@@ -47,6 +47,7 @@ SCALE_QUERIES = [
     "llm_semdedup_trained_k32",
     "llm_ann_pq_trained",
     "llm_cluster_top_terms",
+    "llm_decontaminate_semantic",
 ]
 
 TABLES = (
