@@ -83,6 +83,53 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, resized_len int, resized_md5 string"
+)
+
+
+def resize_media(payloads: DataFrame, target: int = 64) -> DataFrame:
+    """Resize over binary payloads: each payload is decimated to at
+    most ``target`` bytes (every stride-th byte, stride = n div
+    target) and fingerprinted — the plumbing shape of image resize /
+    audio resample (payload in, smaller payload out, metadata
+    preserved) with the codec STUBBED as byte decimation (no
+    PIL/librosa in this container; a real pipeline replaces the
+    slice with Image.resize and keeps everything else). The Spark
+    side — Arrow batching, one output row per input, deterministic
+    output an oracle can replay — is exactly what production runs."""
+    import hashlib
+
+    from ..session import ship_package
+
+    ship_package(payloads.sparkSession)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mimes = pdf["meta"].map(lambda s: s["mime"])
+            rows = {"doc_id": [], "mime": [], "n_bytes": [], "resized_len": [], "resized_md5": []}
+            for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], mimes):
+                raw = bytes(decode_media(bytes(payload), mime))
+                stride = max(len(raw) // target, 1)
+                resized = raw[::stride][:target]
+                rows["doc_id"].append(doc_id)
+                rows["mime"].append(mime)
+                rows["n_bytes"].append(len(raw))
+                rows["resized_len"].append(len(resized))
+                rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "mime": pd.Series(rows["mime"], dtype="object"),
+                    "n_bytes": pd.Series(rows["n_bytes"], dtype="int64"),
+                    "resized_len": pd.Series(rows["resized_len"], dtype="int32"),
+                    "resized_md5": pd.Series(rows["resized_md5"], dtype="object"),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, frame_len int"
 
 

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_payload, extract_features, sample_frames
+from ..operators.multimodal import (
+    attach_payload,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..sources.parquet import load_table
 from ..streaming.windows import (
     run_stream_to_table,
@@ -208,6 +213,37 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/resample plumbing over binary payloads (the third leg of
+    the multimodal surface next to feature-extract and frame-sample):
+    byte-decimation stub in place of the codec, mapInPandas one-in
+    one-out, deterministic output the oracle replays over the ASCII
+    fixture text."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = attach_payload(d, "doc_id", "text")
+    return resize_media(payloads).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+r AS (
+  SELECT doc_id, 'text/plain' AS mime, CAST(n AS BIGINT) AS n_bytes,
+         array_to_string(
+           [substr(text, CAST(i AS BIGINT), 1)
+            for i in range(1, CAST(n AS BIGINT) + 1,
+                           CAST(greatest(n // 64, 1) AS BIGINT))][1:64],
+           '') AS rz
+  FROM base
+)
+SELECT doc_id, mime, n_bytes,
+       CAST(length(rz) AS INTEGER) AS resized_len,
+       md5(rz) AS resized_md5
+FROM r ORDER BY doc_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: k strided byte-window 'frames' per payload,
     fingerprinted — one row per frame via mapInPandas. ASCII fixture
@@ -282,6 +318,7 @@ QUERIES = {
     "stream_foreachbatch_sink": q_stream_foreachbatch,
     "llm_multimodal_features": q_multimodal_features,
     "llm_multimodal_frames": q_multimodal_frames,
+    "llm_multimodal_resize": q_multimodal_resize,
 }
 
 ORACLE_SQL = {
@@ -296,6 +333,7 @@ ORACLE_SQL = {
     "stream_stateful_user_stats": SQL_STREAM_STATEFUL,
     "llm_multimodal_features": SQL_MULTIMODAL_FEATURES,
     "llm_multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "llm_multimodal_resize": SQL_MULTIMODAL_RESIZE,
 }
 
 
