@@ -42,9 +42,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dblp, llm, pipeline, sinks_queries, streaming_queries, tpch
+from . import bpe, dblp, llm, pipeline, sinks_queries, streaming_queries, tpch
 
-_FAMILIES = (dblp, tpch, llm, pipeline, streaming_queries, sinks_queries)
+_FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 
 # Last round in which the grading driver recorded a green CORRECTNESS
 # row for each query (union of CORRECTNESS_r01..r04.json — all rows in

@@ -1,0 +1,301 @@
+"""BPE tokenizer training + inverted-index construction (LLM-pipeline
+extensions, fourth batch).
+
+No reference counterpart (the reference's surface is the six DBLP
+queries — SURVEY.md §2.2); these are the tokenizer-prep operations a
+training-data pipeline runs after curation: learn subword merge rules
+from the corpus (Sennrich et al., arXiv:1508.07909) and build the
+term → postings index that powers corpus search / decontamination
+lookups.
+
+BPE at 100 TB — the word-frequency formulation: because BPE merges
+never cross word boundaries, training does not iterate over the
+corpus.  ONE distributed pass builds the word-type frequency table
+(partial-agg groupBy; vocabulary of word TYPES is bounded — tens of
+millions of rows at web scale, not corpus-scale), a global top-K cap
+(TakeOrderedAndProject — no full sort) bounds it further, and every
+merge round then runs on that K-row table: explode adjacent symbol
+pairs weighted by word count, partial-agg sum, global top-1.  The
+argmax pair is a one-row broadcast; applying a merge is a narrow
+per-row string rewrite.  Per-round lazy localCheckpoints keep the
+plan O(1) in rounds (operators/graph.py pattern) — without them the
+round-r plan would contain 2^r copies of the corpus scan, since each
+round references the previous table twice (pair counts + rewrite).
+
+Portability contract (same as pipeline.py): the symbol sequence of a
+word is encoded as "(s)(s)(s)" — every symbol wrapped in parens, no
+shared delimiter between adjacent symbols — so one literal
+replace('(a)(b)' -> '(a~b)') applies a merge with identical
+greedy-leftmost, non-overlapping, continue-after-replacement
+semantics in Spark `replace` and DuckDB `replace` (both verified on
+the '(a)(a)(a)(a)' overlap case).  Words are restricted to
+^[a-z0-9]+$ so '(' ')' '~' never occur inside a symbol; real corpora
+apply the same alphabet normalization before tokenizer training.
+Pair counts weight overlapping occurrences fully (the classic
+Sennrich count); ties break by pair string ascending (ASCII-only
+alphabet, binary collation in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.parquet import load_table
+
+# Vocabulary cap for training (global top-K word types by count) and
+# the number of merge rounds to learn.  K here is fixture-sized; at
+# production scale K is the tokenizer's training vocabulary budget
+# (e.g. 1e6 word types) — still a broadcast-scale table.
+BPE_TOP_WORDS = 256
+BPE_MERGES = 8
+# doc-id span per inverted-index postings chunk (bounds every postings
+# row at SPAN doc ids — a stopword's postings become many bounded rows
+# instead of one corpus-sized one).
+POSTINGS_SPAN = 100
+
+
+def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE corpus-scale stage: word-type counts, capped to the
+    top-K types.  groupBy is partial-aggregated map-side; the cap is
+    a global top-K (TakeOrderedAndProject), never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word").rlike("^[a-z0-9]+$"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(BPE_TOP_WORDS)
+    )
+
+
+def _adjacent_pairs(seq_col: str) -> F.Column:
+    """array of 'left right' adjacent symbol pairs of a '(s)(s)' seq."""
+    toks = F.split(
+        F.expr(f"substring({seq_col}, 2, length({seq_col}) - 2)"), r"\)\("
+    )
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def _bpe_rounds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """Run BPE_MERGES merge rounds; returns ([best-pair rows], final
+    word table).  Each round: pair explode + partial-agg sum + global
+    top-1 over the K-row word table, then a broadcast one-row cross
+    join applies the merge as a literal string rewrite."""
+    w = _word_types(spark, sf_dir).withColumn(
+        "seq", F.regexp_replace("word", "(.)", r"($1)")
+    )
+    # pin the single corpus pass; every round re-reads this K-row table
+    w = w.localCheckpoint(eager=False)
+    merges: list[DataFrame] = []
+    for r in range(1, BPE_MERGES + 1):
+        best = (
+            w.select("cnt", F.explode(_adjacent_pairs("seq")).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .withColumn("round", F.lit(r))
+            .localCheckpoint(eager=False)  # reused: output row + rewrite
+        )
+        merges.append(best)
+        pat = F.concat(
+            F.lit("("), F.replace(F.col("pair"), F.lit(" "), F.lit(")(")), F.lit(")")
+        )
+        rep = F.concat(
+            F.lit("("), F.replace(F.col("pair"), F.lit(" "), F.lit("~")), F.lit(")")
+        )
+        w = (
+            w.crossJoin(F.broadcast(best.select("pair")))
+            .withColumn("seq", F.replace(F.col("seq"), pat, rep))
+            .select("word", "cnt", "seq")
+            .localCheckpoint(eager=False)
+        )
+    return merges, w
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table: one row per round — the merged pair,
+    its corpus-weighted count at selection time, and the new symbol.
+    This table (broadcast, R rows) is what a tokenizer-apply stage
+    ships to executors."""
+    merges, _ = _bpe_rounds(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "round",
+        "pair",
+        F.replace(F.col("pair"), F.lit(" "), F.lit("~")).alias("merged"),
+        "pair_count",
+    ).orderBy("round")
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final segmentation of every trained word type after all merge
+    rounds: 'pieces' is the subword split ('l o w~e r' style, '~'
+    marking merged symbols).  Narrow rewrite of the K-row word table;
+    at scale the same rewrite applied corpus-side is a broadcast-join
+    + per-row expression, no shuffle."""
+    _, w = _bpe_rounds(spark, sf_dir)
+    pieces = F.replace(
+        F.expr("substring(seq, 2, length(seq) - 2)"), F.lit(")("), F.lit(" ")
+    )
+    return (
+        w.select(
+            "word",
+            "cnt",
+            F.size(F.split(pieces, " ")).alias("n_pieces"),
+            pieces.alias("pieces"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("word"))
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked inverted index: term -> sorted doc-id postings, chunked
+    by doc-id range (chunk = doc_id div POSTINGS_SPAN) so every
+    postings row is bounded at SPAN ids regardless of term frequency —
+    a stopword at 100 TB becomes many bounded rows, not one giant one,
+    and chunking by the id RANGE (not by rank) needs no window over a
+    hot term partition.  One explode + one partial-agg'd groupBy;
+    per-doc array_distinct dedups positions before the shuffle.
+    Corpus-wide df is deliberately NOT attached per row here — that is
+    a second small agg keyed by term (tfidf query family) and would
+    re-shuffle the postings."""
+    d = load_table(spark, sf_dir, "documents")
+    td = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    ).filter(F.col("term").rlike("^[a-z0-9]+$"))
+    return (
+        td.groupBy(
+            "term",
+            # integer `div`, not float division + cast: exact for any
+            # 64-bit doc id (a double round-trip degrades above 2^53)
+            F.expr(f"doc_id div {POSTINGS_SPAN}").alias("chunk"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("chunk_df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term", "chunk")
+    )
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+_SQL_WORDS = f"""
+ex AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents
+),
+words AS (
+  SELECT word, count(*) AS cnt FROM ex
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {BPE_TOP_WORDS}
+),
+w0 AS (
+  SELECT word, cnt, regexp_replace(word, '(.)', '(\\1)', 'g') AS seq FROM words
+)"""
+
+
+def _sql_round(r: int) -> str:
+    """One unrolled merge round: pair counts from w{r-1}, top-1, and
+    the literal-replace rewrite into w{r} (same greedy-leftmost
+    replace semantics as Spark's — module docstring)."""
+    return f""",
+p{r} AS (
+  SELECT pair, sum(cnt)::BIGINT AS pair_count FROM (
+    SELECT cnt,
+           unnest(CASE WHEN len(t) >= 2
+                       THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                       ELSE [] END) AS pair
+    FROM (SELECT cnt, string_split(seq[2:-2], ')(') AS t FROM w{r - 1})
+  ) GROUP BY pair
+),
+b{r} AS (SELECT pair, pair_count FROM p{r} ORDER BY pair_count DESC, pair ASC LIMIT 1),
+w{r} AS (
+  SELECT word, cnt,
+         replace(seq,
+                 '(' || replace(b.pair, ' ', ')(') || ')',
+                 '(' || replace(b.pair, ' ', '~') || ')') AS seq
+  FROM w{r - 1}, b{r} b
+)"""
+
+
+_SQL_BPE_CTE = "WITH " + _SQL_WORDS + "".join(
+    _sql_round(r) for r in range(1, BPE_MERGES + 1)
+)
+
+SQL_BPE_TRAIN = (
+    _SQL_BPE_CTE
+    + """
+SELECT round, pair, replace(pair, ' ', '~') AS merged, pair_count
+FROM ("""
+    + "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS round, pair, pair_count FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    + """
+)
+ORDER BY round
+"""
+)
+
+SQL_BPE_SEGMENT = (
+    _SQL_BPE_CTE
+    + f"""
+SELECT word, cnt,
+       CAST(len(string_split(replace(seq[2:-2], ')(', ' '), ' ')) AS INTEGER) AS n_pieces,
+       replace(seq[2:-2], ')(', ' ') AS pieces
+FROM w{BPE_MERGES}
+ORDER BY cnt DESC, word ASC
+"""
+)
+
+SQL_INVERTED_INDEX = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id, tok AS term FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+  )
+  WHERE regexp_matches(tok, '^[a-z0-9]+$')
+)
+SELECT term,
+       CAST(doc_id // {POSTINGS_SPAN} AS BIGINT) AS chunk,
+       count(*) AS chunk_df,
+       array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS postings
+FROM td
+GROUP BY term, doc_id // {POSTINGS_SPAN}
+ORDER BY term, chunk
+"""
+
+
+QUERIES = {
+    "llm_bpe_train": q_bpe_train,
+    "llm_bpe_segment": q_bpe_segment,
+    "llm_inverted_index": q_inverted_index,
+}
+ORACLE_SQL = {
+    "llm_bpe_train": SQL_BPE_TRAIN,
+    "llm_bpe_segment": SQL_BPE_SEGMENT,
+    "llm_inverted_index": SQL_INVERTED_INDEX,
+}

@@ -1,0 +1,126 @@
+"""Fourth-batch tokenizer-prep operators: BPE merge training /
+segmentation (queries/bpe.py) and the chunked inverted index.
+
+The driver's differential gate proves Spark == DuckDB; these tests
+prove both equal an INDEPENDENT pure-Python reimplementation of the
+defined algorithm (greedy-leftmost non-overlapping merge application,
+fully-weighted overlap pair counts, (count desc, pair asc) tie-break),
+so a shared misreading of replace() semantics across both engines
+cannot slip through.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from map_reduce_for_dbpl_dataset_spark.queries.bpe import (
+    BPE_MERGES,
+    BPE_TOP_WORDS,
+    POSTINGS_SPAN,
+    q_bpe_segment,
+    q_bpe_train,
+    q_inverted_index,
+)
+
+_WORD = re.compile(r"^[a-z0-9]+$")
+
+
+def _words(texts: list[str]) -> Counter:
+    c: Counter = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if _WORD.match(w):
+                c[w] += 1
+    return c
+
+
+def _python_bpe(texts: list[str]):
+    """Reference BPE: returns (merge rows, final segmentation)."""
+    counts = _words(texts)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_WORDS]
+    seqs = {w: tuple(w) for w, _ in top}
+    merges = []
+    for r in range(1, BPE_MERGES + 1):
+        pc: Counter = Counter()
+        for w, cnt in top:
+            s = seqs[w]
+            for i in range(len(s) - 1):  # fully-weighted overlap counts
+                pc[(s[i], s[i + 1])] += cnt
+        best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        (a, b), n = best
+        merges.append((r, f"{a} {b}", f"{a}~{b}", n))
+        for w in seqs:  # greedy-leftmost, non-overlapping
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(f"{a}~{b}")
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    seg = {w: (cnt, len(seqs[w]), " ".join(seqs[w])) for w, cnt in top}
+    return merges, seg
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    expected, _ = _python_bpe(texts)
+    got = [
+        (r.round, r.pair, r.merged, r.pair_count)
+        for r in q_bpe_train(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # merges must actually compound: later rounds may merge a '~'
+    # symbol produced earlier, and counts are non-increasing only
+    # per-construction when the corpus is skewed — assert the
+    # structural invariant instead: every pair is two known symbols.
+    assert all(" " in p and "~" in m for _, p, m, _ in got)
+
+
+def test_bpe_segment_matches_python_reference(spark, sf_dir):
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    _, expected = _python_bpe(texts)
+    got = {
+        r.word: (r.cnt, r.n_pieces, r.pieces)
+        for r in q_bpe_segment(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # round-trip: removing separators reconstructs every word exactly
+    for w, (_, _, pieces) in got.items():
+        assert pieces.replace(" ", "").replace("~", "") == w
+
+
+def test_inverted_index_rescan_and_chunk_bound(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    expected: dict = {}
+    for r in rows:
+        toks = {
+            w
+            for w in re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+            if _WORD.match(w)
+        }
+        for t in toks:
+            expected.setdefault((t, r.doc_id // POSTINGS_SPAN), []).append(r.doc_id)
+    got = q_inverted_index(spark, sf_dir).collect()
+    assert {
+        (r.term, r.chunk): (r.chunk_df, r.postings) for r in got
+    } == {
+        k: (len(v), ",".join(str(i) for i in sorted(v)))
+        for k, v in expected.items()
+    }
+    # the scale contract: no postings row exceeds the chunk span
+    assert all(r.chunk_df <= POSTINGS_SPAN for r in got)

@@ -251,6 +251,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
         ("encode argmin partial-aggregated", "partial_min"),
     ],
+    "llm_inverted_index": [
+        # chunked postings build: range-chunk key means no window over
+        # a hot term; one groupBy with partial (object-hash) combine
+        # of the postings lists; nothing joins
+        ("no window over hot terms", "!Window"),
+        ("no join anywhere", "!Join"),
+        ("postings partially collected map-side", "partial_collect_list"),
+        ("column-pruned scan", "ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
     "llm_cluster_top_terms": [
         # c-TF-IDF labeling: codebook broadcast for assignment,
         # term counts partial-aggregated, per-cluster top-k limited
@@ -426,6 +435,41 @@ def _semdedup_assign_plan(spark, sf_dir):
     return _semdedup_assigned(c, cents)
 
 
+def _bpe_merge_round_plan(spark, sf_dir):
+    """Pre-checkpoint BPE merge round (queries/bpe.py): the ONE
+    corpus-scale stage (word-type counts + top-K cap) feeding a full
+    pair-count/top-1/rewrite round — the subtree the registry query
+    hides behind its per-round lazy localCheckpoints."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.queries.bpe import (
+        _adjacent_pairs,
+        _word_types,
+    )
+
+    w = _word_types(spark, sf_dir).withColumn(
+        "seq", F.regexp_replace("word", "(.)", r"($1)")
+    )
+    best = (
+        w.select("cnt", F.explode(_adjacent_pairs("seq")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(1)
+    )
+    pat = F.concat(
+        F.lit("("), F.replace(F.col("pair"), F.lit(" "), F.lit(")(")), F.lit(")")
+    )
+    rep = F.concat(
+        F.lit("("), F.replace(F.col("pair"), F.lit(" "), F.lit("~")), F.lit(")")
+    )
+    return (
+        w.crossJoin(F.broadcast(best.select("pair")))
+        .withColumn("seq", F.replace(F.col("seq"), pat, rep))
+        .select("word", "cnt", "seq")
+    )
+
+
 # custom entries: (plan builder, checks) — for plans not reachable as a
 # whole registry query (e.g. subtrees behind a checkpoint boundary)
 CUSTOM_CHECKS: dict = {
@@ -442,6 +486,15 @@ CUSTOM_CHECKS: dict = {
             ("K-row centroid table broadcast", "BroadcastNestedLoopJoin"),
             ("argmin partial-aggregated (min-struct, no window sort)", "partial_min"),
             ("centroid update partial-aggregated", "partial_sum"),
+        ],
+    ),
+    "bpe_merge_round[pre-checkpoint]": (
+        _bpe_merge_round_plan,
+        [
+            ("word-type counts partial-aggregated", "partial_count"),
+            ("vocab cap as global top-K heap", "TakeOrderedAndProject"),
+            ("pair counts partial-aggregated", "partial_sum"),
+            ("one-row merge rule broadcast", "BroadcastNestedLoopJoin"),
         ],
     ),
     "semdedup_assign[pre-checkpoint]": (
