@@ -162,6 +162,72 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-side tokenizer APPLY: encode every document with the
+    learned merge table and report per-doc token stats (words kept,
+    BPE pieces, compression).  Rule semantics: each merge rule is
+    applied in learned order, one greedy-leftmost pass each — for
+    words seen in training this replicates the training segmentation
+    exactly (training applied rules in the same order), and merges
+    can never resurrect an earlier rule's pair (symbols only grow,
+    and every merged symbol is a new '~'-name), so one ordered pass
+    is the fixpoint.
+
+    Scale shape: the corpus NEVER shuffles to encode — the R learned
+    rules arrive as R one-row broadcasts and each application is a
+    narrow JVM string rewrite; the only exchange is the final per-doc
+    partial-agg'd groupBy.  This is the plan a tokenizer-apply stage
+    must have at 100 TB: rules broadcast, data stays put."""
+    merges, _ = _bpe_rounds(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z0-9]+$"))
+    w = w.withColumn("seq", F.regexp_replace("word", "(.)", r"($1)"))
+    for r, m in enumerate(merges, 1):
+        p = F.col(f"_p{r}")
+        w = (
+            w.crossJoin(F.broadcast(m.select(F.col("pair").alias(f"_p{r}"))))
+            .withColumn(
+                "seq",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(
+                        F.lit("("),
+                        F.replace(p, F.lit(" "), F.lit(")(")),
+                        F.lit(")"),
+                    ),
+                    F.concat(
+                        F.lit("("), F.replace(p, F.lit(" "), F.lit("~")), F.lit(")")
+                    ),
+                ),
+            )
+            .drop(f"_p{r}")
+        )
+    n_sym = F.size(
+        F.split(
+            F.replace(
+                F.expr("substring(seq, 2, length(seq) - 2)"),
+                F.lit(")("),
+                F.lit(" "),
+            ),
+            " ",
+        )
+    )
+    return (
+        w.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum(n_sym).alias("n_pieces"),
+        )
+        .withColumn(
+            "compression_micro", F.expr("(n_chars * 1000000) div n_pieces")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunked inverted index: term -> sorted doc-id postings, chunked
     by doc-id range (chunk = doc_id div POSTINGS_SPAN) so every
@@ -270,6 +336,45 @@ ORDER BY cnt DESC, word ASC
 """
 )
 
+def _sql_nested_apply() -> str:
+    """seq with all R merge rules applied as nested literal replaces,
+    innermost = rule 1 (learned order)."""
+    acc = "seq"
+    for r in range(1, BPE_MERGES + 1):
+        acc = (
+            f"replace({acc}, "
+            f"'(' || replace(x{r}.pair, ' ', ')(') || ')', "
+            f"'(' || replace(x{r}.pair, ' ', '~') || ')')"
+        )
+    return acc
+
+
+SQL_BPE_ENCODE = (
+    _SQL_BPE_CTE
+    + """,
+dw AS (
+  SELECT doc_id, word, regexp_replace(word, '(.)', '(\\1)', 'g') AS seq FROM (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+    FROM documents
+  ) WHERE regexp_matches(word, '^[a-z0-9]+$')
+),
+app AS (
+  SELECT doc_id, word, """
+    + _sql_nested_apply()
+    + f""" AS seq
+  FROM dw, {", ".join(f"b{r} x{r}" for r in range(1, BPE_MERGES + 1))}
+)
+SELECT doc_id, count(*) AS n_words,
+       sum(len(word))::BIGINT AS n_chars,
+       sum(len(string_split(replace(seq[2:-2], ')(', ' '), ' ')))::BIGINT AS n_pieces,
+       CAST((sum(len(word)) * 1000000)
+            // sum(len(string_split(replace(seq[2:-2], ')(', ' '), ' '))) AS BIGINT)
+         AS compression_micro
+FROM app GROUP BY doc_id ORDER BY doc_id
+"""
+)
+
 SQL_INVERTED_INDEX = f"""
 WITH td AS (
   SELECT DISTINCT doc_id, tok AS term FROM (
@@ -292,10 +397,12 @@ ORDER BY term, chunk
 QUERIES = {
     "llm_bpe_train": q_bpe_train,
     "llm_bpe_segment": q_bpe_segment,
+    "llm_bpe_encode": q_bpe_encode,
     "llm_inverted_index": q_inverted_index,
 }
 ORACLE_SQL = {
     "llm_bpe_train": SQL_BPE_TRAIN,
     "llm_bpe_segment": SQL_BPE_SEGMENT,
+    "llm_bpe_encode": SQL_BPE_ENCODE,
     "llm_inverted_index": SQL_INVERTED_INDEX,
 }

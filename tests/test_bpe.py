@@ -18,6 +18,7 @@ from map_reduce_for_dbpl_dataset_spark.queries.bpe import (
     BPE_MERGES,
     BPE_TOP_WORDS,
     POSTINGS_SPAN,
+    q_bpe_encode,
     q_bpe_segment,
     q_bpe_train,
     q_inverted_index,
@@ -100,6 +101,54 @@ def test_bpe_segment_matches_python_reference(spark, sf_dir):
     # round-trip: removing separators reconstructs every word exactly
     for w, (_, _, pieces) in got.items():
         assert pieces.replace(" ", "").replace("~", "") == w
+
+
+def _apply_rules(word: str, rules: list[tuple[str, str]]) -> tuple:
+    """Greedy-leftmost one pass per rule, in learned order."""
+    s: tuple = tuple(word)
+    for a, b in rules:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(f"{a}~{b}")
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        s = tuple(out)
+    return s
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    merges, _ = _python_bpe([r.text for r in rows])
+    rules = [tuple(p.split(" ")) for _, p, _, _ in merges]
+    expected = {}
+    for r in rows:
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", r.text.lower()).strip().split(" ")
+            if _WORD.match(w)
+        ]
+        if not words:
+            continue
+        n_chars = sum(len(w) for w in words)
+        n_pieces = sum(len(_apply_rules(w, rules)) for w in words)
+        expected[r.doc_id] = (
+            len(words),
+            n_chars,
+            n_pieces,
+            n_chars * 1_000_000 // n_pieces,
+        )
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_pieces, r.compression_micro)
+        for r in q_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # merges actually fired somewhere: pieces < chars for some doc
+    assert any(p < c for _, c, p, _ in got.values())
 
 
 def test_inverted_index_rescan_and_chunk_bound(spark, sf_dir):

@@ -251,6 +251,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
         ("encode argmin partial-aggregated", "partial_min"),
     ],
+    "llm_bpe_encode": [
+        # tokenizer apply: the R learned rules come back as one-row
+        # broadcasts (corpus never shuffles to encode); per-doc stats
+        # collapse map-side
+        ("merge rules broadcast to the corpus", "BroadcastNestedLoopJoin"),
+        ("per-doc stats partial-aggregated", "partial_count"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
     "llm_inverted_index": [
         # chunked postings build: range-chunk key means no window over
         # a hot term; one groupBy with partial (object-hash) combine
