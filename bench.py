@@ -55,6 +55,9 @@ HEADLINE = [
     # pass
     "llm_semdedup_trained_k32",
     "llm_bigram_lm_score",
+    # tokenizer apply at corpus scale: trained merge rules broadcast,
+    # corpus never shuffles to encode (queries/bpe.py)
+    "llm_bpe_encode",
 ]
 
 

@@ -2005,3 +2005,81 @@ QUERIES["llm_bigram_lm_score"] = q_bigram_lm_score
 ORACLE_SQL["llm_bigram_lm_score"] = SQL_BIGRAM_LM_SCORE
 QUERIES["llm_corpus_shuffle"] = q_corpus_shuffle
 ORACLE_SQL["llm_corpus_shuffle"] = SQL_CORPUS_SHUFFLE
+
+
+# --- leakage-free train/validation/test split --------------------------------
+# Document-level random splits LEAK: a near-duplicate pair lands on
+# both sides of the train/eval boundary and the eval score is
+# memorization, not generalization (the failure llm_decontaminate
+# detects after the fact — this prevents it at split time).  The unit
+# of assignment is therefore the near-dup CLUSTER: every member of a
+# transitive near-dup component hashes to the same split.
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 80  # buckets [0,80) -> train
+SPLIT_VAL_LT = 90  # [80,90) -> validation, [90,100) -> test
+
+
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level split assignment: components of the near-dup
+    graph (exact Jaccard >= 0.8 here; at 100 TB the edge set comes
+    from minhash_lsh_pairs instead — same downstream plan) are hashed
+    by their canonical id into 100 buckets, 80/10/10.  Assignment is
+    a narrow hash expression on the component label — no extra
+    shuffle beyond the O(log n) component rounds, and deterministic
+    across reruns/engines (md5-based hash60, no rand())."""
+    from .llm import q_dedup_clusters
+
+    labels = q_dedup_clusters(spark, sf_dir)
+    bucket = F.pmod(
+        hash60(F.col("cluster_id").cast("string")), F.lit(SPLIT_BUCKETS)
+    )
+    return (
+        labels.select(
+            "doc_id",
+            "cluster_id",
+            bucket.alias("bucket"),
+            F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+            .when(bucket < SPLIT_VAL_LT, F.lit("validation"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_LEAKAGE_FREE_SPLIT = f"""
+WITH RECURSIVE {_SH_CTE},
+ex AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.sz + sb.sz - n_common)::DOUBLE >= 0.8
+),
+bi AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM sh
+  UNION
+  SELECT r.src, bi.d FROM reach r JOIN bi ON r.dst = bi.s
+),
+labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+bk AS (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {SPLIT_BUCKETS} AS bucket
+  FROM labels
+)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {SPLIT_VAL_LT} THEN 'validation'
+            ELSE 'test' END AS split
+FROM bk ORDER BY doc_id
+"""
+
+QUERIES["llm_leakage_free_split"] = q_leakage_free_split
+ORACLE_SQL["llm_leakage_free_split"] = SQL_LEAKAGE_FREE_SPLIT

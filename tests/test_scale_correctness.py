@@ -48,6 +48,10 @@ SCALE_QUERIES = [
     "llm_ann_pq_trained",
     "llm_cluster_top_terms",
     "llm_decontaminate_semantic",
+    # round-5 tokenizer family at 10x documents: training's unrolled
+    # 8-round CTE and the broadcast-rules corpus encode
+    "llm_bpe_train",
+    "llm_bpe_encode",
 ]
 
 TABLES = (

@@ -251,6 +251,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
         ("encode argmin partial-aggregated", "partial_min"),
     ],
+    "llm_leakage_free_split": [
+        # split assignment is a narrow hash expression on the
+        # component label — nothing beyond the components fixpoint
+        # may shuffle or cartesian
+        ("no cartesian", "!CartesianProduct"),
+    ],
     "llm_bpe_encode": [
         # tokenizer apply: the R learned rules come back as one-row
         # broadcasts (corpus never shuffles to encode); per-doc stats
