@@ -173,45 +173,63 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every merged symbol is a new '~'-name), so one ordered pass
     is the fixpoint.
 
-    Scale shape: the corpus NEVER shuffles to encode — the R learned
-    rules arrive as R one-row broadcasts and each application is a
-    narrow JVM string rewrite; the only exchange is the final per-doc
-    partial-agg'd groupBy.  This is the plan a tokenizer-apply stage
-    must have at 100 TB: rules broadcast, data stays put."""
-    merges, _ = _bpe_rounds(spark, sf_dir)
+    Scale shape: the corpus NEVER shuffles to encode.  The trained
+    vocabulary's segmentations arrive as ONE broadcast K-row map —
+    a hash join serves every in-vocab word (the Zipf head, the vast
+    majority of corpus tokens), and only out-of-vocab words fall back
+    to the R-rule replace chain (the R rules are R one-row
+    broadcasts; the fallback expression is branch-guarded so
+    in-vocab rows never pay it).  The only exchange is the final
+    per-doc partial-agg'd groupBy.  This is the plan a
+    tokenizer-apply stage must have at 100 TB: vocab + rules
+    broadcast, data stays put."""
+    merges, trained = _bpe_rounds(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).filter(F.col("word").rlike("^[a-z0-9]+$"))
-    w = w.withColumn("seq", F.regexp_replace("word", "(.)", r"($1)"))
-    for r, m in enumerate(merges, 1):
-        p = F.col(f"_p{r}")
-        w = (
-            w.crossJoin(F.broadcast(m.select(F.col("pair").alias(f"_p{r}"))))
-            .withColumn(
-                "seq",
+    # fast path: precomputed piece counts for the trained vocabulary
+    vocab = trained.select(
+        "word",
+        F.size(
+            F.split(
                 F.replace(
-                    F.col("seq"),
-                    F.concat(
-                        F.lit("("),
-                        F.replace(p, F.lit(" "), F.lit(")(")),
-                        F.lit(")"),
-                    ),
-                    F.concat(
-                        F.lit("("), F.replace(p, F.lit(" "), F.lit("~")), F.lit(")")
-                    ),
+                    F.expr("substring(seq, 2, length(seq) - 2)"),
+                    F.lit(")("),
+                    F.lit(" "),
                 ),
+                " ",
             )
-            .drop(f"_p{r}")
-        )
-    n_sym = F.size(
-        F.split(
-            F.replace(
-                F.expr("substring(seq, 2, length(seq) - 2)"),
-                F.lit(")("),
-                F.lit(" "),
+        ).alias("_vocab_pieces"),
+    )
+    w = w.join(F.broadcast(vocab), "word", "left")
+    # slow path (out-of-vocab words only): apply the R rules in
+    # learned order as a nested literal-replace expression
+    for r, m in enumerate(merges, 1):
+        w = w.crossJoin(F.broadcast(m.select(F.col("pair").alias(f"_p{r}"))))
+    seq = F.regexp_replace("word", "(.)", r"($1)")
+    for r in range(1, BPE_MERGES + 1):
+        p = F.col(f"_p{r}")
+        seq = F.replace(
+            seq,
+            F.concat(
+                F.lit("("), F.replace(p, F.lit(" "), F.lit(")(")), F.lit(")")
             ),
-            " ",
+            F.concat(
+                F.lit("("), F.replace(p, F.lit(" "), F.lit("~")), F.lit(")")
+            ),
+        )
+    # when() evaluates the fallback branch only for OOV rows
+    n_sym = F.when(F.col("_vocab_pieces").isNotNull(), F.col("_vocab_pieces")).otherwise(
+        F.size(
+            F.split(
+                F.replace(
+                    F.substring(seq, F.lit(2), F.length(seq) - 2),
+                    F.lit(")("),
+                    F.lit(" "),
+                ),
+                " ",
+            )
         )
     )
     return (

@@ -173,3 +173,40 @@ def test_inverted_index_rescan_and_chunk_bound(spark, sf_dir):
     }
     # the scale contract: no postings row exceeds the chunk span
     assert all(r.chunk_df <= POSTINGS_SPAN for r in got)
+
+
+def test_bpe_encode_oov_fallback(spark, tmp_path):
+    """Fixture word types all fit in the top-K vocab, so the fast
+    path covers everything there; this corpus has > BPE_TOP_WORDS
+    word types, forcing real out-of-vocab words through the
+    replace-chain fallback — which must segment them with the SAME
+    learned rules the vocab words trained."""
+    n_types = BPE_TOP_WORDS + 64
+    texts = []
+    for i in range(n_types):
+        # low-index words repeat (trained vocab, Zipf head); the tail
+        # appears once each and falls outside the top-K cap
+        reps = 5 if i < 50 else 1
+        texts.extend([f"prefix{i:04d} shared common tail"] * reps)
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts,
+         "lang": "en", "source": "synthetic", "n_chars": [len(t) for t in texts]}
+    )
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+
+    merges, _ = _python_bpe(texts)
+    rules = [tuple(p.split(" ")) for _, p, _, _ in merges]
+    expected = {}
+    for doc_id, t in enumerate(texts):
+        words = [w for w in t.split(" ") if _WORD.match(w)]
+        n_chars = sum(len(w) for w in words)
+        n_pieces = sum(len(_apply_rules(w, rules)) for w in words)
+        expected[doc_id] = (len(words), n_chars, n_pieces,
+                            n_chars * 1_000_000 // n_pieces)
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_pieces, r.compression_micro)
+        for r in q_bpe_encode(spark, str(tmp_path)).collect()
+    }
+    assert got == expected

@@ -258,10 +258,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
     ],
     "llm_bpe_encode": [
-        # tokenizer apply: the R learned rules come back as one-row
-        # broadcasts (corpus never shuffles to encode); per-doc stats
-        # collapse map-side
-        ("merge rules broadcast to the corpus", "BroadcastNestedLoopJoin"),
+        # tokenizer apply: the trained vocab's segmentations come back
+        # as ONE broadcast hash join (the Zipf-head fast path); the R
+        # rules for the OOV fallback are one-row broadcasts; the
+        # corpus never shuffles to encode and per-doc stats collapse
+        # map-side
+        ("vocab segmentations broadcast-hash-joined", "BroadcastHashJoin"),
+        ("OOV rules broadcast to the corpus", "BroadcastNestedLoopJoin"),
         ("per-doc stats partial-aggregated", "partial_count"),
         ("no cartesian", "!CartesianProduct"),
     ],
