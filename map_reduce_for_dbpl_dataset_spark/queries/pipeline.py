@@ -2026,10 +2026,22 @@ def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     by their canonical id into 100 buckets, 80/10/10.  Assignment is
     a narrow hash expression on the component label — no extra
     shuffle beyond the O(log n) component rounds, and deterministic
-    across reruns/engines (md5-based hash60, no rand())."""
-    from .llm import q_dedup_clusters
+    across reruns/engines (md5-based hash60, no rand()).  Edges come
+    from the prefix-filtered PPJoin plan — pair-identical to the
+    naive exact join (tests/test_properties.py) but with the filter
+    funnel that survives the scale point (~3 min -> seconds on the
+    10x fixtures)."""
+    from ..operators.dedup import ngram_jaccard_pairs_prefix
+    from ..operators.graph import connected_components
+    from .llm import _docs_shingled
 
-    labels = q_dedup_clusters(spark, sf_dir)
+    sh = _docs_shingled(spark, sf_dir)
+    edges = ngram_jaccard_pairs_prefix(
+        sh, "doc_id", "shingles", threshold=0.8
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = connected_components(
+        edges, sh.select(F.col("doc_id").alias("node"))
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
     bucket = F.pmod(
         hash60(F.col("cluster_id").cast("string")), F.lit(SPLIT_BUCKETS)
     )

@@ -117,3 +117,30 @@ def test_oracle_holds_at_scale_point(spark, name):
     o = sorted(tuple(_norm(row[i]) for i in o_idx) for row in rel.fetchall())
     assert len(s) == len(o) > 0
     assert s == o
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(SCALE_DIR), reason="scale fixtures not built"
+)
+def test_leakage_split_invariant_at_scale(spark):
+    """llm_leakage_free_split's recursive-CTE oracle needs ~3 min in
+    DuckDB at this size (the shingle self-join), so the scale point
+    checks the operator's CONTRACT Spark-side instead: every near-dup
+    component maps to exactly one split, all three splits exist, and
+    the 10x fixtures' tagged near-dup structure yields multi-member
+    clusters (so the invariant is not vacuous).  The full oracle hash
+    runs at sf0.01 in the driver gate."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["llm_leakage_free_split"](spark, SCALE_DIR).collect()
+    assert len(rows) == 50000
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r.split for r in rows} == {"train", "validation", "test"}
+    assert any(
+        len([r for r in rows if r.cluster_id == c]) > 1
+        for c in list(by_cluster)[:50]
+    ) or len(by_cluster) < len(rows)
