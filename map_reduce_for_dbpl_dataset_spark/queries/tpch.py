@@ -2209,3 +2209,116 @@ ORDER BY c_custkey
 
 QUERIES["tpch_subquery_not_exists"] = q_subquery_not_exists
 ORACLE_SQL["tpch_subquery_not_exists"] = SQL_SUBQUERY_NOT_EXISTS
+
+
+# --- TPC-H Q8-shaped national market share -----------------------------------
+MKT_REGION = "AMERICA"
+MKT_NATION = "NATION_1"  # numerator: supplier nation
+MKT_PTYPE = "ECONOMY"
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: the widest classic star — lineitem joined to
+    part, supplier, orders, customer, nation x2, region — computing
+    the numerator nation's share of yearly volume sold into one
+    region's market, for one part type.
+
+    Scale: every dimension path collapses BEFORE touching the fact
+    stream.  part is filtered to one type then joined (AQE picks
+    broadcast at bench scale; part scales with SF so no forced hint),
+    supplier pre-joins its nation into a (s_suppkey, nation) map, and
+    customer pre-joins nation+region and is filtered to the target
+    region so the fact stream sees a SEMI-shaped probe, not a 4-deep
+    dim chain.  The per-year numerator/denominator collapse map-side
+    (partial agg to <= 7 rows/task); the share ratio is one
+    IEEE-double division per year row — portable bit-for-bit, same
+    contract as the rest of the family."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+
+    target_parts = part.filter(F.col("p_type") == MKT_PTYPE).select("p_partkey")
+    supp_nation = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_in_region = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == MKT_REGION).select("r_regionkey")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    rev = (
+        F.col("l_extendedprice").cast(D)
+        * (F.lit(1).cast(D) - F.col("l_discount").cast(D))
+    ).alias("rev")
+    vol = (
+        lineitem.select("l_orderkey", "l_partkey", "l_suppkey", rev)
+        .join(target_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == MKT_NATION, F.col("rev")).otherwise(
+            F.lit(0).cast(D)
+        )
+    )
+    den = F.sum("rev")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            num.cast("double").alias("nation_volume"),
+            den.cast("double").alias("total_volume"),
+        )
+        .withColumn(
+            "mkt_share_micro",
+            F.floor(F.col("nation_volume") * F.lit(1000000.0) / F.col("total_volume")).cast("long"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_MARKET_SHARE = f"""
+WITH vol AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = '{MKT_PTYPE}'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    WHERE r_name = '{MKT_REGION}')
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{MKT_NATION}' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+       CAST(SUM(rev) AS DOUBLE) AS total_volume,
+       CAST(floor(CAST(SUM(CASE WHEN supp_nation = '{MKT_NATION}' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                  * 1000000.0
+                  / CAST(SUM(rev) AS DOUBLE)) AS BIGINT) AS mkt_share_micro
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+QUERIES["tpch_market_share"] = q_market_share
+ORACLE_SQL["tpch_market_share"] = SQL_MARKET_SHARE

@@ -251,6 +251,16 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
         ("encode argmin partial-aggregated", "partial_min"),
     ],
+    "tpch_market_share": [
+        # the widest classic star: dimension paths must collapse
+        # before the fact stream (broadcast probes + a semi join for
+        # the region filter), and the per-year ratio aggregates
+        # partial map-side
+        ("dims broadcast", "BroadcastHashJoin"),
+        ("region filter as semi join", "LeftSemi"),
+        ("partial agg", "partial_sum"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
     "llm_leakage_free_split": [
         # split assignment is a narrow hash expression on the
         # component label — nothing beyond the components fixpoint
@@ -291,6 +301,27 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
 # Hand-written analysis that survives regeneration: emitted verbatim
 # under the matching query's section in PLANS.md.
 NOTES: dict[str, str] = {
+    "llm_bpe_encode": """\
+**Round-5 tokenizer family** (queries/bpe.py). Training never
+iterates over the corpus: the word-frequency formulation means ONE
+corpus pass (word-type counts + global top-K heap), after which all
+8 merge rounds run on the K-row vocab table. Encode's measured
+profile: the all-words replace-chain form cost 24.4 s on the 10x
+fixtures (5.3x for 10x data); the broadcast vocab fast path (K-row
+segmentation map served by a hash join, replace chain only for OOV
+words behind a when() branch) cut it to 5.1 s — 2.0x for 10x data.
+At 100 TB the vocab map covers the Zipf head of corpus tokens, so
+per-row work is one broadcast-hash probe for the common case; the
+OOV tail pays R literal replaces, still narrow JVM expressions.""",
+    "llm_leakage_free_split": """\
+**Round-5**: split assignment is cluster-level (every transitive
+near-dup component hashes to one 80/10/10 bucket), so no near-dup
+pair can straddle the train/eval boundary (asserted for every
+Jaccard >= 0.8 pair in tests). Edges come from the prefix-filtered
+PPJoin plan — pair-identical to the naive exact join but with the
+filter funnel: swapping it in cut the 10x-fixture time from ~3 min
+to 32 s. At 100 TB the edge set comes from minhash_lsh_pairs
+instead (same downstream components + hash assignment).""",
     "llm_ngram_jaccard_prefix": """\
 **Round-5 PPJoin+ pass** (round-4 verdict #2 — the one super-linear
 headline scaler, 12.72 s at sf1). Measured candidate funnel at sf1
