@@ -49,9 +49,11 @@ SCALE_QUERIES = [
     "llm_cluster_top_terms",
     "llm_decontaminate_semantic",
     # round-5 tokenizer family at 10x documents: training's unrolled
-    # 8-round CTE and the broadcast-rules corpus encode
+    # 8-round CTE, the broadcast-rules corpus encode, and the chunked
+    # postings build (object-hash collect at 10x)
     "llm_bpe_train",
     "llm_bpe_encode",
+    "llm_inverted_index",
 ]
 
 TABLES = (
