@@ -34,6 +34,15 @@ apply the same alphabet normalization before tokenizer training.
 Pair counts weight overlapping occurrences fully (the classic
 Sennrich count); ties break by pair string ascending (ASCII-only
 alphabet, binary collation in both engines).
+
+Degenerate corpora (vocabulary exhausts all merges before round R,
+i.e. no adjacent pair remains anywhere): the empty round-r best-pair
+table propagates through the cross joins and every downstream result
+goes empty — IDENTICALLY in Spark and the oracle (the CTE's empty
+b{r} does the same), so the hash gate still agrees.  Real corpora
+can't hit this with R=8 (any two-symbol word supplies a pair); a
+production trainer sizes R to the tokenizer budget and stops early
+on an empty pair table.
 """
 
 from __future__ import annotations
