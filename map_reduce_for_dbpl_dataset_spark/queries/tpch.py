@@ -2322,3 +2322,93 @@ FROM vol GROUP BY o_year ORDER BY o_year
 
 QUERIES["tpch_market_share"] = q_market_share
 ORACLE_SQL["tpch_market_share"] = SQL_MARKET_SHARE
+
+
+# --- strict-sequence funnel analysis -----------------------------------------
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel over the event stream: per user, the first
+    'view', the first 'click' AFTER that view, and the first
+    'purchase' AFTER that click — the standard product-analytics
+    funnel where each step must follow the previous step's first
+    occurrence.
+
+    Scale shape: three CASCADED conditional-min aggregations, each
+    partial-aggregated map-side and joined back on user_id (AQE picks
+    the strategy; at 100 TB these are co-partitioned hash joins on
+    the same key, so the exchanges reuse).  Deliberately NOT a
+    whole-user-partition window: per-user windows put every hot
+    user's full history in one task buffer, while the conditional-min
+    agg collapses each step to one row per user before anything
+    shuffles."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    users = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    s1 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .withColumn(
+            "furthest_step",
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .when(F.col("t_view").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .select("user_id", "t_view", "t_click", "t_purchase", "furthest_step")
+        .orderBy("user_id")
+    )
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id, t_view, t_click, t_purchase,
+       CASE WHEN t_purchase IS NOT NULL THEN 3
+            WHEN t_click IS NOT NULL THEN 2
+            WHEN t_view IS NOT NULL THEN 1
+            ELSE 0 END AS furthest_step
+FROM users u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+ORDER BY u.user_id
+"""
+
+QUERIES["tpch_events_funnel"] = q_events_funnel
+ORACLE_SQL["tpch_events_funnel"] = SQL_EVENTS_FUNNEL

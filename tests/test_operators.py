@@ -133,3 +133,43 @@ def test_salted_join_unmatched_keys_drop_like_inner(spark):
     small = spark.createDataFrame([(0, "a")], "k int, v string")
     out = salted_join(big, small, key="k", salt=F.col("row_id"), n_salts=4).collect()
     assert len(out) == 1 and out[0].k == 0
+
+
+def test_events_funnel_strict_order_rescan(spark, sf_dir):
+    """Independent Python rescan of the strict-sequence semantics:
+    first view, first click AFTER that view, first purchase AFTER
+    that click — not merely per-type minima."""
+    from map_reduce_for_dbpl_dataset_spark.queries.tpch import q_events_funnel
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    expected = {}
+    for u, rows in by_user.items():
+        t1 = min((t for t, k in rows if k == "view"), default=None)
+        t2 = (
+            min((t for t, k in rows if k == "click" and t > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((t for t, k in rows if k == "purchase" and t > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        step = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        expected[u] = (t1, t2, t3, step)
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.furthest_step)
+        for r in q_events_funnel(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the funnel narrows (or holds) at every step
+    n1 = sum(1 for v in got.values() if v[3] >= 1)
+    n2 = sum(1 for v in got.values() if v[3] >= 2)
+    n3 = sum(1 for v in got.values() if v[3] >= 3)
+    assert n1 >= n2 >= n3 > 0

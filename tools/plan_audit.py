@@ -261,6 +261,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("partial agg", "partial_sum"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "tpch_events_funnel": [
+        # cascaded conditional-min aggs, each collapsed map-side; a
+        # whole-user-partition window here would buffer hot users
+        ("step minima partial-aggregated", "partial_min"),
+        ("no per-user window", "!Window"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
     "llm_leakage_free_split": [
         # split assignment is a narrow hash expression on the
         # component label — nothing beyond the components fixpoint
