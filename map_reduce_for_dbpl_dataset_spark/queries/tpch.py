@@ -2412,3 +2412,68 @@ ORDER BY u.user_id
 
 QUERIES["tpch_events_funnel"] = q_events_funnel
 ORACLE_SQL["tpch_events_funnel"] = SQL_EVENTS_FUNNEL
+
+
+# --- weekly cohort retention -------------------------------------------------
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention grid: users cohorted by the ISO week of their
+    first 'signup' event, counted as active in each subsequent week
+    they emit ANY event — the funnel's companion product-analytics
+    query (tpch_events_funnel).
+
+    Scale shape: the cohort map is one partial-agg'd min per user;
+    activity joins it back on user_id (co-partitioned with the
+    cohort agg's exchange under AQE); the distinct-user count per
+    (cohort, offset) cell is the standard two-phase distinct
+    (partial_count(distinct ..)), never a collect_set.  Week math is
+    Monday-anchored date_trunc in both engines, so offsets are exact
+    integers (day deltas are multiples of 7 by construction).  The
+    cohort week is emitted as an ISO 'yyyy-MM-dd' STRING: a DATE
+    column reaches pandas as datetime.date from Spark but
+    datetime64 from DuckDB, rendering differently under the
+    driver's string hash."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_ts"))
+    )
+    act = (
+        e.join(cohort, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_ts", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr(
+                "CAST(datediff(to_date(date_trunc('week', ts)), to_date(cohort_ts)) div 7 AS INT)"
+            ).alias("week_offset"),
+        )
+        .filter(F.col("week_offset") >= 0)
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT e.user_id,
+         strftime(c.cohort_ts, '%Y-%m-%d') AS cohort_week,
+         CAST(datediff('day', CAST(c.cohort_ts AS DATE),
+                       CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INTEGER)
+           AS week_offset
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+)
+SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_users
+FROM act WHERE week_offset >= 0
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+QUERIES["tpch_events_retention"] = q_events_retention
+ORACLE_SQL["tpch_events_retention"] = SQL_EVENTS_RETENTION

@@ -173,3 +173,43 @@ def test_events_funnel_strict_order_rescan(spark, sf_dir):
     n2 = sum(1 for v in got.values() if v[3] >= 2)
     n3 = sum(1 for v in got.values() if v[3] >= 3)
     assert n1 >= n2 >= n3 > 0
+
+
+def test_events_retention_rescan(spark, sf_dir):
+    """Python rescan of the cohort grid: Monday-anchored signup week,
+    offset = whole weeks to the activity week, distinct users."""
+    import datetime
+
+    from map_reduce_for_dbpl_dataset_spark.queries.tpch import q_events_retention
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import load_table
+
+    def monday(ts):
+        d = ts.date()
+        return d - datetime.timedelta(days=d.weekday())
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    signup: dict = {}
+    for r in ev:
+        if r.event_type == "signup":
+            if r.user_id not in signup or r.ts < signup[r.user_id]:
+                signup[r.user_id] = r.ts
+    cells: dict = {}
+    for r in ev:
+        if r.user_id not in signup:
+            continue
+        cw = monday(signup[r.user_id])
+        off = (monday(r.ts) - cw).days // 7
+        if off >= 0:
+            cells.setdefault((cw.isoformat(), off), set()).add(r.user_id)
+    expected = {k: len(v) for k, v in cells.items()}
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in q_events_retention(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # week-0 of each cohort contains every cohort member (the signup
+    # event itself is activity), so it is the cohort's max cell
+    for (cw, off), n in got.items():
+        assert n <= got[(cw, 0)]

@@ -261,6 +261,13 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("partial agg", "partial_sum"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "tpch_events_retention": [
+        # distinct users per cell via the two-phase expand, cohort
+        # minima partial-aggregated; no per-user window
+        ("per-cell distinct is two-phase", "partial_count(distinct"),
+        ("cohort minima partial-aggregated", "partial_min"),
+        ("no per-user window", "!Window"),
+    ],
     "tpch_events_funnel": [
         # cascaded conditional-min aggs, each collapsed map-side; a
         # whole-user-partition window here would buffer hot users
