@@ -2095,3 +2095,117 @@ FROM bk ORDER BY doc_id
 
 QUERIES["llm_leakage_free_split"] = q_leakage_free_split
 ORACLE_SQL["llm_leakage_free_split"] = SQL_LEAKAGE_FREE_SPLIT
+
+
+# --- nearest-class-mean quality classifier (Rocchio) -------------------------
+# Model-based corpus filtering (the GPT-3-appendix "quality
+# classifier" pattern) in its simplest exact form: class prototype =
+# the labeled training set's per-class mean embedding; a document
+# scores as its nearest prototype.  Train is ONE partial-agg pass;
+# inference is a broadcast of the K-class model and a narrow exact-
+# integer argmin — the plan shape any linear/prototype scorer has at
+# 100 TB (weights broadcast, corpus never shuffles to score).
+CLS_HOLDOUT_MOD = 5  # vec_id % 5 == 0 is held out of training
+
+
+def q_embed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on 80% of labeled vectors, score ALL vectors against the
+    10 class means.  Exactness: with s_k the class SUM vector and n_k
+    the class count, comparing squared distance to the mean mu_k =
+    s_k/n_k across classes multiplies through by n_k^2:
+    f_k(x) = n_k^2*|x|^2 - 2*n_k*(s_k . x) + |s_k|^2 — all BIGINT on
+    the quantized vectors, no division anywhere; ties break to the
+    lower class id via the partial-aggregable min(struct) argmin
+    (operators/kmeans.py pattern).  Magnitude bound: |f| <=
+    n^2*dim*q_max^2 ~ n^2 * 6.4e7 — safe to n ~ 1e5 rows/class in
+    int64 (ANSI mode raises loudly beyond); production swaps s/n for
+    the integer-divided mean vector (kmeans centroid form) to keep
+    the bound corpus-independent."""
+    from ..functions.vectors import dot_q, quantize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+    tr = q.filter(F.col("vec_id") % CLS_HOLDOUT_MOD != 0)
+    counts = tr.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    sums = (
+        tr.select("label", F.posexplode("q").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))),
+                lambda st: st.s,
+            ).alias("s")
+        )
+    )
+    model = (
+        counts.join(sums, "label")
+        .select(
+            F.col("label").alias("k"),
+            "n",
+            "s",
+            dot_q(F.col("s"), F.col("s")).alias("s2"),
+        )
+    )
+    f = (
+        F.col("n") * F.col("n") * dot_q(F.col("q"), F.col("q"))
+        - F.lit(2) * F.col("n") * dot_q(F.col("s"), F.col("q"))
+        + F.col("s2")
+    )
+    return (
+        q.join(F.broadcast(model))
+        .withColumn("f", f)
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("f", "k")).alias("_b"),
+            F.any_value("label").alias("label"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("_b.k").alias("pred"),
+            (F.col("_b.k") == F.col("label")).alias("correct"),
+            (F.col("vec_id") % CLS_HOLDOUT_MOD == 0).alias("holdout"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQL_EMBED_CLASSIFIER = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding] AS q
+  FROM embeddings
+),
+tr AS (SELECT * FROM q WHERE vec_id % {CLS_HOLDOUT_MOD} != 0),
+cell AS (
+  SELECT label, i, sum(q[i])::BIGINT AS s
+  FROM tr, range(1, {EMB_DIM} + 1) t(i) GROUP BY label, i
+),
+sv AS (SELECT label AS k, list(s ORDER BY i) AS s FROM cell GROUP BY label),
+model AS (
+  SELECT c.k, c.n, sv.s,
+         list_sum([sv.s[i] * sv.s[i] for i in range(1, {EMB_DIM} + 1)])::BIGINT AS s2
+  FROM (SELECT label AS k, count(*) AS n FROM tr GROUP BY label) c
+  JOIN sv ON c.k = sv.k
+),
+scored AS (
+  SELECT q.vec_id, q.label, m.k,
+         m.n * m.n * list_sum([q.q[i] * q.q[i] for i in range(1, {EMB_DIM} + 1)])::BIGINT
+           - 2 * m.n * list_sum([m.s[i] * q.q[i] for i in range(1, {EMB_DIM} + 1)])::BIGINT
+           + m.s2 AS f
+  FROM q, model m
+),
+pred AS (
+  SELECT vec_id, label, k,
+         row_number() OVER (PARTITION BY vec_id ORDER BY f ASC, k ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, label, k AS pred, k = label AS correct,
+       vec_id % {CLS_HOLDOUT_MOD} = 0 AS holdout
+FROM pred WHERE rn = 1 ORDER BY vec_id
+"""
+
+QUERIES["llm_embed_classifier"] = q_embed_classifier
+ORACLE_SQL["llm_embed_classifier"] = SQL_EMBED_CLASSIFIER

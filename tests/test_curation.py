@@ -293,3 +293,52 @@ def test_leakage_free_split_clusters_never_straddle(spark, sf_dir):
     assert pairs  # the fixture embeds near-duplicates
     assert all(split_of[p.id_a] == split_of[p.id_b] for p in pairs)
     assert {r.split for r in rows} == {"train", "validation", "test"}
+
+
+def test_embed_classifier_matches_python_rescan(spark, sf_dir):
+    """Independent rescan of the exact nearest-class-mean argmin
+    (n^2|x|^2 - 2n(s.x) + |s|^2, ties to the lower class id).  The
+    synthetic embeddings are barely label-correlated (sf0.001 holdout
+    accuracy ~= chance, 3 predicted classes), so assertions are
+    structural — exact rescan agreement, non-constant predictions —
+    not an accuracy floor."""
+    import math
+
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        CLS_HOLDOUT_MOD,
+        q_embed_classifier,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    q = {r.vec_id: ([math.floor(float(x) * 1000) for x in r.embedding], r.label) for r in rows}
+    sums: dict = {}
+    counts: dict = {}
+    for vid, (vec, lab) in q.items():
+        if vid % CLS_HOLDOUT_MOD == 0:
+            continue
+        counts[lab] = counts.get(lab, 0) + 1
+        s = sums.setdefault(lab, [0] * len(vec))
+        for i, v in enumerate(vec):
+            s[i] += v
+    expected = {}
+    for vid, (vec, lab) in q.items():
+        best = None
+        x2 = sum(v * v for v in vec)
+        for k in sorted(counts):
+            n, s = counts[k], sums[k]
+            f = n * n * x2 - 2 * n * sum(a * b for a, b in zip(s, vec)) + sum(
+                a * a for a in s
+            )
+            if best is None or (f, k) < best:
+                best = (f, k)
+        expected[vid] = (lab, best[1], best[1] == lab, vid % CLS_HOLDOUT_MOD == 0)
+    got = {
+        r.vec_id: (r.label, r.pred, r.correct, r.holdout)
+        for r in q_embed_classifier(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # scorer must discriminate: predictions are not one constant class
+    preds = {v[1] for v in got.values()}
+    assert len(preds) >= 2
+    # every holdout row was scored (inference covers the full corpus)
+    assert any(v[3] for v in got.values())

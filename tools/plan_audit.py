@@ -261,6 +261,15 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("partial agg", "partial_sum"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    "llm_embed_classifier": [
+        # prototype scorer: the K-class model broadcasts (corpus never
+        # shuffles to score), class sums partial-aggregate, the argmin
+        # is the partial-aggregable min(struct) — no window
+        ("model broadcast to the corpus", "BroadcastNestedLoopJoin"),
+        ("class sums partial-aggregated", "partial_sum"),
+        ("argmin partial-aggregated (no window sort)", "partial_min"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
     "tpch_events_retention": [
         # distinct users per cell via the two-phase expand, cohort
         # minima partial-aggregated; no per-user window
