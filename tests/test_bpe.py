@@ -210,3 +210,60 @@ def test_bpe_encode_oov_fallback(spark, tmp_path):
         for r in q_bpe_encode(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def _write_docs(tmp_path, texts):
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts,
+         "lang": "en", "source": "synthetic", "n_chars": [len(t) for t in texts]}
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+
+def test_bpe_early_stop_when_merges_exhaust(spark, tmp_path):
+    """Merges exhaust after ONE round (the only multi-symbol word type
+    is 'ab'; after merging (a,b) no adjacent pair remains anywhere) —
+    the trainer must stop there instead of running the remaining
+    budgeted rounds with an empty best-pair table, which would
+    propagate through the cross joins and silently empty the entire
+    corpus encode (round-5 verdict #5 / ADVICE)."""
+    assert BPE_MERGES > 1  # the test is about stopping short of R
+    texts = ["a b ab", "ab a b", "b a ab"]
+    _write_docs(tmp_path, texts)
+    sf = str(tmp_path)
+
+    train = q_bpe_train(spark, sf).collect()
+    assert [(r.round, r.pair, r.merged, r.pair_count) for r in train] == [
+        (1, "a b", "a~b", 3)
+    ]
+
+    seg = {r.word: r.pieces for r in q_bpe_segment(spark, sf).collect()}
+    assert seg == {"a": "a", "b": "b", "ab": "a~b"}
+
+    enc = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_pieces, r.compression_micro)
+        for r in q_bpe_encode(spark, sf).collect()
+    }
+    # every doc: words [a, b, ab] -> 3 words, 4 chars, 3 pieces; the
+    # encode output must NOT be empty (the pre-fix failure mode)
+    assert enc == {i: (3, 4, 3, 4_000_000 // 3) for i in range(3)}
+
+
+def test_bpe_zero_learnable_pairs(spark, tmp_path):
+    """Fully degenerate corpus (every word a single char): zero merge
+    rules; train returns an empty rule table with the contract schema
+    and encode degrades to character segmentation."""
+    texts = ["a b c", "c b a"]
+    _write_docs(tmp_path, texts)
+    sf = str(tmp_path)
+
+    train = q_bpe_train(spark, sf)
+    assert train.columns == ["round", "pair", "merged", "pair_count"]
+    assert train.count() == 0
+
+    enc = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_pieces)
+        for r in q_bpe_encode(spark, sf).collect()
+    }
+    assert enc == {0: (3, 3, 3), 1: (3, 3, 3)}
