@@ -2344,7 +2344,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg collapses each step to one row per user before anything
     shuffles."""
     e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    users = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    users = e.select("user_id").distinct()
     s1 = (
         e.filter(F.col("event_type") == FUNNEL_STEPS[0])
         .groupBy("user_id")
