@@ -296,12 +296,14 @@ def test_leakage_free_split_clusters_never_straddle(spark, sf_dir):
 
 
 def test_embed_classifier_matches_python_rescan(spark, sf_dir):
-    """Independent rescan of the exact nearest-class-mean argmin
-    (n^2|x|^2 - 2n(s.x) + |s|^2, ties to the lower class id).  The
-    synthetic embeddings are barely label-correlated (sf0.001 holdout
-    accuracy ~= chance, 3 predicted classes), so assertions are
-    structural — exact rescan agreement, non-constant predictions —
-    not an accuracy floor."""
+    """Independent rescan of the exact nearest-prototype argmin in
+    the centroid form (mu_k = s_k div n_k elementwise with truncation
+    toward zero, f = |x - mu_k|^2, ties to the lower class id — the
+    round-6 corpus-independent-bound formulation).  The synthetic
+    embeddings are barely label-correlated (sf0.001 holdout accuracy
+    ~= chance, 3 predicted classes), so assertions are structural —
+    exact rescan agreement, non-constant predictions — not an
+    accuracy floor."""
     import math
 
     from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
@@ -320,15 +322,20 @@ def test_embed_classifier_matches_python_rescan(spark, sf_dir):
         s = sums.setdefault(lab, [0] * len(vec))
         for i, v in enumerate(vec):
             s[i] += v
+    def trunc_div(a: int, b: int) -> int:
+        # Spark `div` / DuckDB `//`: truncation toward zero (Python's
+        # // floors, which differs on negative sums)
+        return a // b if (a >= 0) == (b >= 0) else -((-a) // b)
+
+    mus = {
+        k: [trunc_div(si, counts[k]) for si in s] for k, s in sums.items()
+    }
     expected = {}
     for vid, (vec, lab) in q.items():
         best = None
-        x2 = sum(v * v for v in vec)
         for k in sorted(counts):
-            n, s = counts[k], sums[k]
-            f = n * n * x2 - 2 * n * sum(a * b for a, b in zip(s, vec)) + sum(
-                a * a for a in s
-            )
+            mu = mus[k]
+            f = sum((a - m) * (a - m) for a, m in zip(vec, mu))
             if best is None or (f, k) < best:
                 best = (f, k)
         expected[vid] = (lab, best[1], best[1] == lab, vid % CLS_HOLDOUT_MOD == 0)

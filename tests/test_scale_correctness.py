@@ -54,6 +54,13 @@ SCALE_QUERIES = [
     "llm_bpe_train",
     "llm_bpe_encode",
     "llm_inverted_index",
+    # round-6 newcomers to the sf1 net (round-5 verdict #7): the
+    # centroid-form classifier at 10x rows/class (its BIGINT score
+    # bound is corpus-independent — this point proves it) and the
+    # corpus-computed-K SemDeDup (K moves 22 -> 141 across the scale
+    # points; the oracle computes the same K in SQL)
+    "llm_embed_classifier",
+    "llm_semdedup_scaled",
 ]
 
 TABLES = (
@@ -142,7 +149,7 @@ def test_leakage_split_invariant_at_scale(spark):
         by_cluster.setdefault(r.cluster_id, set()).add(r.split)
     assert all(len(s) == 1 for s in by_cluster.values())
     assert {r.split for r in rows} == {"train", "validation", "test"}
-    assert any(
-        len([r for r in rows if r.cluster_id == c]) > 1
-        for c in list(by_cluster)[:50]
-    ) or len(by_cluster) < len(rows)
+    # non-vacuous: the tagged near-dup fixture structure must produce
+    # multi-member clusters (fewer clusters than rows) — otherwise the
+    # one-split-per-cluster invariant above holds trivially
+    assert len(by_cluster) < len(rows)

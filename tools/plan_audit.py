@@ -214,9 +214,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "llm_bigram_lm_score": [
         # bigram counts partial-aggregated; prefix masses derive from
         # the (vocabulary-sized) count table, never a second corpus
-        # pass; no collect anywhere
+        # pass; no collect anywhere; round-6: every exchange keys on
+        # 8-byte xxhash64 values — the raw bigram string must not
+        # appear in any hashpartitioning clause
         ("bigram counts partial-aggregated", "partial_count"),
         ("no cartesian", "!CartesianProduct"),
+        ("8-byte hashed keys in the plan", "xxhash64"),
+        ("no string-keyed exchange on bg", "!hashpartitioning(bg#"),
+        ("no string-keyed exchange on w1", "!hashpartitioning(w1#"),
     ],
     "llm_decontaminate_semantic": [
         # eval side broadcast; the train corpus never shuffles; per-
@@ -423,14 +428,17 @@ variant's — codebook broadcasts for assignment and probing, the only
 shuffle is the cell-id candidate join. Oracle = kmeans prelude CTEs
 chained into the IVF SQL, hash-exact.""",
     "llm_bigram_lm_score": """\
-**Scale profile** (round-5 bench): 1.46 s at sf0.1 -> 10.3 s at the
-sf1 scale point, whose tag-inflated text carries ~11.25x the bytes —
-sub-linear per byte. The shuffles key on the bigram STRINGS by
-design: the counts ARE the result here, so hashing the keys (the
-PPJoin trick) would trade exactness for shuffle width with no
-verification step to catch a collision; at 100 TB the right lever is
-a dictionary pass (bigram -> int id via the two-pass global rank)
-amortized per corpus snapshot, not a lossy hash.""",
+**8-byte shuffle keys** (round-6, was the round-5 weak-watch item):
+the explode output collapses immediately to h_bg = xxhash64(bigram)
+/ h_w1 = xxhash64(first word), so the count groupBy and both
+join-backs exchange fixed-width longs, never the Zipf-skewed bigram
+strings (asserted: no hashpartitioning on bg/w1). Hashing is
+CONSISTENT — counts are grouped under the same hash the probes use,
+so a 64-bit collision would merge two bigrams' counts identically on
+both sides of every join (no dropped/duplicated rows); at ~2^-65 per
+pair this is unreachable even for a 10^9-bigram vocabulary, which is
+why the earlier exactness objection to hashed keys does not apply to
+this self-join-back shape (it would to a cross-corpus lookup).""",
     "llm_ann_pq_trained": """\
 **Per-subspace trained PQ codebook** (completes the train-then-assign
 set): kmeans_train runs once per subspace over raw subvector slices
