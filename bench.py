@@ -2,7 +2,13 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "calibration_sec": C, "value_per_calibration": N/C}
+
+"calibration_sec" times a fixed synthetic shuffle+agg (spark.range
+5e7 -> groupBy 10k keys) whose code never changes round-to-round:
+movement in it is machine drift, so value_per_calibration is the
+number to compare across rounds.
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collect — the fair way to time a distributed plan).
@@ -58,6 +64,10 @@ HEADLINE = [
     # tokenizer apply at corpus scale: trained merge rules broadcast,
     # corpus never shuffles to encode (queries/bpe.py)
     "llm_bpe_encode",
+    # round-6 addition: the corpus-computed-K SemDeDup (K = isqrt(N);
+    # k32's hand-picked operating point stays above for
+    # round-over-round comparability — this slot times the rule)
+    "llm_semdedup_scaled",
 ]
 
 
@@ -119,6 +129,27 @@ def main() -> None:
     # do across queries in steady state.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
+    # Machine-drift calibration (round-5 verdict #2): a fixed synthetic
+    # shuffle+agg whose code NEVER changes across rounds.  It touches no
+    # input data and no repo operators, so any round-over-round movement
+    # in calibration_sec is environment (CPU contention, JVM, scheduler)
+    # — dividing headline totals by it separates machine drift from plan
+    # drift arithmetically instead of by argument from inflation
+    # patterns (round 5's uniform +35% on untouched slots).
+    def time_calibration(n_runs: int) -> float:
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            (
+                spark.range(50_000_000)
+                .select((F.col("id") % 10_000).alias("k"), F.col("id").alias("v"))
+                .groupBy("k")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+                .write.format("noop").mode("overwrite").save()
+            )
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     def time_suite(sf_path: str, n_runs: int) -> dict[str, float]:
         t: dict[str, float] = {}
         for name in names:
@@ -130,6 +161,7 @@ def main() -> None:
             t[name] = round(best, 3)
         return t
 
+    calibration = time_calibration(runs)
     times = time_suite(sf_dir, runs)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -137,12 +169,17 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_total",
-        "value": round(sum(times.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        # environment yardstick + the normalized total (headline
+        # seconds per calibration second) — compare THIS across rounds
+        "calibration_sec": calibration,
+        "value_per_calibration": round(total / calibration, 3) if calibration else None,
     }
 
     # second scale point: ~10x key-shift-replicated fixtures (built on
