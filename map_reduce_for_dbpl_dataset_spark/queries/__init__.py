@@ -47,43 +47,14 @@ from . import bpe, dblp, llm, pipeline, sinks_queries, streaming_queries, tpch
 _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 
 # Last round in which the grading driver recorded a green CORRECTNESS
-# row for each query (union of CORRECTNESS_r01..r04.json — all rows in
+# row for each query (union of CORRECTNESS_r01..r05.json — all rows in
 # each file were green at that round's check or fixed-and-rechecked in
 # a later one).  Queries absent from this map have never been driver
 # checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 2 (stalest: 28 rows — the llm expression/ANN/dedup
-    # family and the five sink queries — these fill the round-5 window
-    # behind any new queries) ---
-    "llm_ann_brute_topk": 2,
-    "llm_ann_ivf": 2,
-    "llm_ann_lsh_topk": 2,
-    "llm_decontaminate": 2,
-    "llm_dedup_clusters": 2,
-    "llm_dedup_embedding": 2,
-    "llm_dedup_exact": 2,
-    "llm_dedup_levenshtein": 2,
-    "llm_dedup_simhash": 2,
-    "llm_domain_mixture": 2,
-    "llm_fingerprint_rolling": 2,
-    "llm_kmeans": 2,
-    "llm_langid": 2,
-    "llm_multimodal_features": 2,
-    "llm_multimodal_frames": 2,
-    "llm_ngram_jaccard": 2,
-    "llm_pii_scrub": 2,
-    "llm_quality_pandas_udf": 2,
-    "llm_sequence_pack": 2,
-    "llm_text_stats": 2,
-    "llm_tfidf_top_terms": 2,
-    "llm_token_count_arrow": 2,
-    "llm_zscore_grouped_map": 2,
-    "tpch_sink_csv_roundtrip": 2,
-    "tpch_sink_json_roundtrip": 2,
-    "tpch_sink_orc_roundtrip": 2,
-    "tpch_sink_partitioned_parquet": 2,
-    "tpch_sink_text_ordered": 2,
-    # --- round 3 (50 rows) ---
+    # --- round 3 (49 rows — stalest; the round-6 window leads with
+    # these: the whole stream_* parity family, the graph family, and
+    # the tpch scalar/sketch/join batch) ---
     "dblp_coauthor_components_star": 3,
     "dblp_coauthor_triangles": 3,
     "dblp_pagerank": 3,
@@ -100,7 +71,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_token_count": 3,
     "llm_trimmed_mean_grouped_agg": 3,
     "llm_winnow_pairs": 3,
-    "stream_checkpoint_recovery": 3,
     "stream_dedup_parity": 3,
     "stream_session_parity": 3,
     "stream_sliding_parity": 3,
@@ -134,9 +104,7 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_window_ntile": 3,
     "tpch_window_range_frame": 3,
     "tpch_zorder_range_scan": 3,
-    # --- round 4 (50 rows, freshest: the 39 round-1-stale re-checks,
-    # the re-certified-after-change PPJoin row, the 4 surface-risk
-    # round-2 rows, and the 7 never-before-checked queries) ---
+    # --- round 4 (48 rows) ---
     "dblp_coauthor_components": 4,
     "dblp_coauthor_pairs": 4,
     "dblp_q1_top_authors_per_venue": 4,
@@ -147,8 +115,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_chunk_overlap": 4,
     "llm_corpus_shuffle": 4,
     "llm_mixture_sample": 4,
-    "llm_ngram_jaccard_prefix": 4,
-    "llm_semdedup": 4,
     "llm_substring_spans": 4,
     "llm_token_rarity": 4,
     "src_python_datasource": 4,
@@ -187,20 +153,83 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 4,
     "tpch_window_lag_gap": 4,
     "tpch_window_running_total": 4,
+    # --- round 5 (50 rows, freshest: the 28 round-2-stale re-checks,
+    # the 3 re-certified-after-change rows, and the 19 round-5
+    # newcomers) ---
+    "llm_ann_brute_topk": 5,
+    "llm_ann_ivf": 5,
+    "llm_ann_ivf_trained": 5,
+    "llm_ann_lsh_topk": 5,
+    "llm_ann_pq_trained": 5,
+    "llm_bigram_lm_score": 5,
+    "llm_bpe_encode": 5,
+    "llm_bpe_segment": 5,
+    "llm_bpe_train": 5,
+    "llm_cluster_top_terms": 5,
+    "llm_decontaminate": 5,
+    "llm_decontaminate_semantic": 5,
+    "llm_dedup_clusters": 5,
+    "llm_dedup_embedding": 5,
+    "llm_dedup_exact": 5,
+    "llm_dedup_levenshtein": 5,
+    "llm_dedup_simhash": 5,
+    "llm_domain_mixture": 5,
+    "llm_embed_classifier": 5,
+    "llm_fingerprint_rolling": 5,
+    "llm_inverted_index": 5,
+    "llm_kmeans": 5,
+    "llm_langid": 5,
+    "llm_leakage_free_split": 5,
+    "llm_multimodal_features": 5,
+    "llm_multimodal_frames": 5,
+    "llm_multimodal_resize": 5,
+    "llm_ngram_jaccard": 5,
+    "llm_ngram_jaccard_prefix": 5,
+    "llm_pii_scrub": 5,
+    "llm_quality_pandas_udf": 5,
+    "llm_quality_select_approx": 5,
+    "llm_semdedup": 5,
+    "llm_semdedup_trained": 5,
+    "llm_semdedup_trained_k32": 5,
+    "llm_sequence_pack": 5,
+    "llm_text_stats": 5,
+    "llm_tfidf_top_terms": 5,
+    "llm_token_count_arrow": 5,
+    "llm_zscore_grouped_map": 5,
+    "stream_checkpoint_recovery": 5,
+    "stream_late_drop_parity": 5,
+    "tpch_events_funnel": 5,
+    "tpch_events_retention": 5,
+    "tpch_market_share": 5,
+    "tpch_sink_csv_roundtrip": 5,
+    "tpch_sink_json_roundtrip": 5,
+    "tpch_sink_orc_roundtrip": 5,
+    "tpch_sink_partitioned_parquet": 5,
+    "tpch_sink_text_ordered": 5,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-5 entries: the PPJoin plan gained the
-# PPJoin+ refinements (its r4 green row certified the pre-refinement
-# plan); kmeans switched its argmin to a partial-aggregable
-# min(struct) with per-iteration centroid checkpoints and a pinned
-# training corpus; SemDeDup gained the salted within-cluster pair
-# join and an assignment lineage cut.  All re-enter the window ahead
-# of the staleness tiers.
+# green driver row (the round-5 entries were all re-certified green in
+# CORRECTNESS_r05.json and folded above).  Round-6 changes:
+# llm_bigram_lm_score moved every exchange onto 8-byte xxhash64 keys;
+# llm_embed_classifier switched to the integer-divided-mean centroid
+# form (corpus-independent BIGINT bound — its oracle changed in
+# lockstep); tpch_events_funnel replaced the dropped-aggregate users
+# table with select-distinct; the three BPE queries gained the
+# early-stop/budget-R trainer loop.  Window budget note (round-5
+# verdict #1): 49 round-3 rows + 1 new query + 6 changed rows = 56 >
+# 50, so six round-3 rows slip to round 7 (4 rounds stale — one past
+# the ceil(148/50)=3 bound).  Accepted deliberately: a changed row's
+# stale green certifies NOTHING about the current code, which beats
+# a fourth-round-fresh re-check of an untouched expression query;
+# the slipped rows lead the round-7 window.
 _CHANGED: list[str] = [
-    "llm_kmeans",
-    "llm_ngram_jaccard_prefix",
-    "llm_semdedup",
+    "llm_bigram_lm_score",
+    "llm_bpe_encode",
+    "llm_bpe_segment",
+    "llm_bpe_train",
+    "llm_embed_classifier",
+    "tpch_events_funnel",
 ]
 
 
