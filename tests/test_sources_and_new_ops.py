@@ -191,6 +191,43 @@ def test_transform_with_state_gated_consistently(spark):
     assert ("stream_transform_with_state" in QUERIES) == transform_with_state_available()
 
 
+def test_transform_with_state_gate_reports_actual_probe(spark, sf_dir):
+    """The gate query's report row must track the REAL import outcome
+    — both branches asserted (round-5 verdict #8), so if this
+    container ever gains the protobuf wheel the stale 'missing'
+    report fails loudly here instead of rotting silently."""
+    import duckdb
+
+    from map_reduce_for_dbpl_dataset_spark.queries.streaming_queries import (
+        ORACLE_SQL,
+        QUERIES,
+    )
+    from map_reduce_for_dbpl_dataset_spark.streaming.transform_state import (
+        transform_with_state_available,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        live = True
+    except ImportError:
+        live = False
+    assert transform_with_state_available() == live
+
+    row = QUERIES["stream_transform_with_state_gate"](spark, sf_dir).collect()[0]
+    assert row.available == live
+    if live:
+        assert "active" in row.reason
+        assert "stream_transform_with_state" in QUERIES
+    else:
+        assert "google.protobuf missing" in row.reason
+        assert "stream_transform_with_state" not in QUERIES
+    # the oracle literal (generated at registry-build time) must agree
+    # with the live Spark row it will be differentially compared to
+    orow = duckdb.sql(ORACLE_SQL["stream_transform_with_state_gate"]).fetchone()
+    assert (row.surface, row.available, row.reason) == orow
+
+
 def test_interleave_bits_matches_python(spark):
     """Morton key expression == bit-interleave reference, including
     the 3-column case and values at the 16-bit domain edge."""
