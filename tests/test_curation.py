@@ -349,3 +349,41 @@ def test_embed_classifier_matches_python_rescan(spark, sf_dir):
     assert len(preds) >= 2
     # every holdout row was scored (inference covers the full corpus)
     assert any(v[3] for v in got.values())
+
+
+def test_semdedup_scaled_k_rule_and_sql_twin():
+    """The corpus-computed K rule: floor/cap clamps, isqrt in
+    between, and the oracle's floor(sqrt(CAST(n AS DOUBLE)))
+    formulation agrees with math.isqrt everywhere it will ever be
+    evaluated (doubles represent these counts exactly and IEEE sqrt
+    is correctly rounded, so the two can only diverge beyond ~2^52
+    rows)."""
+    import duckdb
+
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        SEMDEDUP_SCALED_CAP,
+        SEMDEDUP_SCALED_FLOOR,
+        semdedup_scaled_k,
+    )
+
+    assert semdedup_scaled_k(0) == SEMDEDUP_SCALED_FLOOR
+    assert semdedup_scaled_k(63) == SEMDEDUP_SCALED_FLOOR  # isqrt=7 < floor
+    assert semdedup_scaled_k(64) == 8
+    assert semdedup_scaled_k(500) == 22  # the sf0.01 operating point
+    assert semdedup_scaled_k(2000) == 44  # sf0.1
+    assert semdedup_scaled_k(20000) == 141  # sf1
+    assert semdedup_scaled_k(10**6) == SEMDEDUP_SCALED_CAP
+
+    ns = (
+        list(range(0, 2000))
+        + [10**k for k in range(3, 13)]
+        + [k * k + d for k in (45, 141, 1000, 10**6) for d in (-1, 0, 1)]
+    )
+    con = duckdb.connect()
+    for n in ns:
+        got = con.sql(
+            f"SELECT greatest({SEMDEDUP_SCALED_FLOOR}, "
+            f"least(CAST(floor(sqrt(CAST({n} AS DOUBLE))) AS BIGINT), "
+            f"{SEMDEDUP_SCALED_CAP}))"
+        ).fetchone()[0]
+        assert got == semdedup_scaled_k(n), n
