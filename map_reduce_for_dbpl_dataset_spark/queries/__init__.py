@@ -216,9 +216,12 @@ _LAST_CHECKED: dict[str, int] = {
 # form (corpus-independent BIGINT bound — its oracle changed in
 # lockstep); tpch_events_funnel replaced the dropped-aggregate users
 # table with select-distinct; the three BPE queries gained the
-# early-stop/budget-R trainer loop.  Window budget note (round-5
-# verdict #1): 49 round-3 rows + 1 new query + 6 changed rows = 56 >
-# 50, so six round-3 rows slip to round 7 (4 rounds stale — one past
+# early-stop/budget-R trainer loop; the SemDeDup family's cell
+# assignment became the Arrow-batched numpy matmul and its pair join
+# gained the pinned shuffle_hash distribution
+# (operators/similarity.py).  Window budget note (round-5 verdict
+# #1): 49 round-3 rows + 1 new query + 9 changed rows = 59 > 50, so
+# nine round-3 rows slip to round 7 (4 rounds stale — one past
 # the ceil(148/50)=3 bound).  Accepted deliberately: a changed row's
 # stale green certifies NOTHING about the current code, which beats
 # a fourth-round-fresh re-check of an untouched expression query;
@@ -229,6 +232,9 @@ _CHANGED: list[str] = [
     "llm_bpe_segment",
     "llm_bpe_train",
     "llm_embed_classifier",
+    "llm_semdedup",
+    "llm_semdedup_trained",
+    "llm_semdedup_trained_k32",
     "tpch_events_funnel",
 ]
 

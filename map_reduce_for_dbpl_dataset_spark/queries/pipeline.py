@@ -1059,34 +1059,81 @@ def q_semdedup_trained_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding count N.  With within-cluster pair work ~ N^2/K, an
 # isqrt K makes total pair work ~ N^1.5 — the operating point moves
 # with the corpus instead of being a hand-picked id list.  The cap
-# guards the fixture init-id range (ids BASE..BASE+K-1 must exist in
-# the base key block; the scale fixtures keep ids 0..1999 contiguous
-# in every copy stride); production replaces the contiguous-id
-# seeding with a hash-sampled K and drops the cap.
+# guards the fixture seed-id range (seeds come from the base key
+# block, which the scale fixtures keep contiguous in every copy
+# stride); production replaces the smallest-ids seeding with a
+# hash-sampled K and drops the cap.
 SEMDEDUP_SCALED_BASE = 30
 SEMDEDUP_SCALED_FLOOR = 8
 SEMDEDUP_SCALED_CAP = 256
+# Codebook TRAINING runs over a bounded deterministic sample of
+# ~TRAIN_PER_CENTROID rows per centroid (vec_id % m == 0 with
+# m = max(1, N div (TRAIN_PER_CENTROID * K))), not the full corpus:
+# full-corpus Lloyd iterations cost O(N * K * dim) per pass, which
+# GROWS with the K the scaling rule picks — measured 22 s vs the
+# hand-picked K=32's 9 s at the sf1 point.  Training on a per-
+# centroid-bounded sample keeps the training pass O(K^2 * dim)
+# (corpus-size-independent) while ASSIGNMENT still covers the full
+# corpus — exactly the SemDeDup paper's regime (the codebook is fit
+# on a fraction of LAION, applied to all of it).
+SEMDEDUP_TRAIN_PER_CENTROID = 20
 
 
 def semdedup_scaled_k(n: int) -> int:
     return max(SEMDEDUP_SCALED_FLOOR, min(math.isqrt(n), SEMDEDUP_SCALED_CAP))
 
 
+def semdedup_train_stride(n: int, k: int) -> int:
+    return max(1, n // (SEMDEDUP_TRAIN_PER_CENTROID * k))
+
+
 def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """llm_semdedup_trained with K COMPUTED from the corpus
-    (semdedup_scaled_k above) instead of a frozen id list: one cheap
-    count over the embeddings table sizes the codebook, then the same
-    train-then-assign composition as the _trained/_k32 variants.  At
-    the fixture scale points: sf0.01 N=500 -> K=22; sf0.1 N=2000 ->
-    K=44; sf1 N=20000 -> K=141 — the Σ cluster² pair budget stays
-    ~N^1.5 as the corpus grows, which is the whole point.  The oracle
-    computes the SAME K in SQL (floor(sqrt(count)) — exact for any
-    corpus below 2^52 rows since IEEE sqrt is correctly rounded) so
-    one static string stays hash-exact at every scale factor."""
+    (semdedup_scaled_k above) and the codebook trained on a bounded
+    sample (semdedup_train_stride above) instead of a frozen id
+    list: one cheap count sizes the codebook, kmeans_train runs over
+    the vec_id % m == 0 sample seeded at the sample's K smallest ids
+    >= BASE, and the trained centroids drive the same full-corpus
+    broadcast assignment + salted pair stage as the _trained/_k32
+    variants.  At the fixture scale points: sf0.01 N=500 -> K=22,
+    m=1 (sample == corpus, so this point coincides with the
+    contiguous-id form the driver certifies); sf0.1 N=2000 -> K=44,
+    m=2; sf1 N=20000 -> K=141, m=7 — pair budget ~N^1.5 AND a
+    corpus-size-independent training pass.  The oracle computes the
+    SAME K and m in SQL from count(*) (floor(sqrt(double)) — exact
+    below 2^52 rows since IEEE sqrt is correctly rounded; the K-row
+    seed list is an ORDER BY vid LIMIT k over the sample in both
+    engines), so one static string stays hash-exact at every scale
+    factor."""
+    from ..operators.kmeans import kmeans_train
+    from ..operators.similarity import semdedup
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k = semdedup_scaled_k(e.count())
-    ids = list(range(SEMDEDUP_SCALED_BASE, SEMDEDUP_SCALED_BASE + k))
-    return _semdedup_trained(spark, sf_dir, ids)
+    n = e.count()
+    k = semdedup_scaled_k(n)
+    m = semdedup_train_stride(n, k)
+    sample = e.filter(F.col("vec_id") % m == 0)
+    # K-row driver scalar (the graph-fixpoint pattern): the seed ids
+    # are the sample's K smallest ids >= BASE — if the sample holds
+    # fewer, training simply runs with that many clusters, exactly as
+    # the oracle's LIMIT does.
+    ids = [
+        r.vec_id
+        for r in sample.filter(F.col("vec_id") >= SEMDEDUP_SCALED_BASE)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    ]
+    cents = kmeans_train(sample, "vec_id", "embedding", ids, iters=KMEANS_ITERS)
+    corpus = _augmented_embeddings(e)
+    return semdedup(
+        corpus,
+        "vec_id",
+        "embedding",
+        threshold=SEMDEDUP_THRESHOLD,
+        centroids=cents,
+    ).orderBy("vec_id")
 
 
 def _semdedup_sql() -> str:
@@ -1306,17 +1353,22 @@ def _kmeans_prelude(
     dim: int | None = None,
     vec_expr: str | None = None,
     ids_pred: str | None = None,
+    src_pred: str | None = None,
+    c0_sql: str | None = None,
 ) -> str:
     """The llm_kmeans unrolled-iteration CTE chain ({prefix}-named to
     avoid name capture), ending with the trained centroid table
     {prefix}c{KMEANS_ITERS} — shared by the train-then-assign oracles
     (llm_semdedup_trained, llm_ann_ivf_trained, and per-subspace with
     ``vec_expr`` a list slice, llm_ann_pq_trained).  ``ids_pred``
-    replaces the static id list with a SQL predicate over ``vid`` so
-    the seed set can depend on the data (llm_semdedup_scaled's
-    corpus-computed K)."""
+    replaces the static id list with a SQL predicate over ``vid``;
+    ``src_pred`` restricts the TRAINING corpus (a WHERE over the raw
+    embeddings scan — llm_semdedup_scaled's bounded sample);
+    ``c0_sql`` replaces the whole seed-select body (its data-
+    dependent ORDER BY vid LIMIT k seeding)."""
     ids_s = ", ".join(str(i) for i in (KMEANS_INIT_IDS if ids is None else ids))
     c0_where = ids_pred if ids_pred is not None else f"vid IN ({ids_s})"
+    src_where = f"\n  WHERE {src_pred}" if src_pred else ""
     dim = EMB_DIM if dim is None else dim
     vec = vec_expr or "embedding"
     d2 = (
@@ -1341,30 +1393,36 @@ def _kmeans_prelude(
     for t in range(1, KMEANS_ITERS + 1):
         parts.append(assign.format(t=t, p=t - 1, d2=d2, P=prefix))
         parts.append(update.format(t=t, dplus=dim + 1, P=prefix))
+    c0_body = (
+        c0_sql
+        if c0_sql is not None
+        else f"SELECT vid AS cluster, q AS c FROM {prefix}q WHERE {c0_where}"
+    )
     return f"""{prefix}q AS (
   SELECT vec_id AS vid,
          [CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in {vec}] AS q
-  FROM embeddings
+  FROM embeddings{src_where}
 ),
-{prefix}c0 AS (SELECT vid AS cluster, q AS c FROM {prefix}q WHERE {c0_where}),{",".join(parts)}"""
+{prefix}c0 AS ({c0_body}),{",".join(parts)}"""
 
 
 def _semdedup_trained_sql(
     ids: list[int] | None = None,
-    ids_pred: str | None = None,
     extra_cte: str = "",
+    **prelude_kwargs,
 ) -> str:
     """llm_semdedup_trained[_k32|_scaled] oracle: the kmeans prelude
     feeding its final centroid table into the llm_semdedup SQL in
     place of the seeded centroid rows.  ``extra_cte`` prepends
-    data-dependent scalar CTEs (the _scaled variant's K) that
-    ``ids_pred`` may reference."""
+    data-dependent scalar CTEs (the _scaled variant's K/m) that the
+    ``prelude_kwargs`` overrides (src_pred / c0_sql / ids_pred) may
+    reference."""
     dot = "CAST(list_sum([{a}.q[i] * {b}.q[i] for i in range(1, %d)]) AS DOUBLE)" % (
         EMB_DIM + 1
     )
     cos = dot + " / sqrt(CAST({a}.n2 AS DOUBLE) * CAST({b}.n2 AS DOUBLE))"
     return f"""
-WITH {extra_cte}{_kmeans_prelude(ids=ids, ids_pred=ids_pred)},
+WITH {extra_cte}{_kmeans_prelude(ids=ids, **prelude_kwargs)},
 cents AS (
   SELECT cluster AS cell, c AS q,
          CAST(list_sum([x * x for x in c]) AS BIGINT) AS n2
@@ -1485,14 +1543,18 @@ QUERIES["llm_semdedup_trained_k32"] = q_semdedup_trained_k32
 ORACLE_SQL["llm_semdedup_trained_k32"] = _semdedup_trained_sql(SEMDEDUP_K32_IDS)
 QUERIES["llm_semdedup_scaled"] = q_semdedup_scaled
 ORACLE_SQL["llm_semdedup_scaled"] = _semdedup_trained_sql(
-    ids_pred=(
-        f"vid >= {SEMDEDUP_SCALED_BASE} "
-        f"AND vid < {SEMDEDUP_SCALED_BASE} + (SELECT k FROM kdef)"
-    ),
     extra_cte=(
-        f"kdef AS (SELECT greatest({SEMDEDUP_SCALED_FLOOR}, "
+        # k = clamp(isqrt(N), floor, cap); m = train-sample stride
+        f"kdef AS (SELECT k, greatest(1, n // ({SEMDEDUP_TRAIN_PER_CENTROID} * k)) AS m "
+        f"FROM (SELECT count(*) AS n, greatest({SEMDEDUP_SCALED_FLOOR}, "
         f"least(CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT), "
-        f"{SEMDEDUP_SCALED_CAP})) AS k FROM embeddings),\n"
+        f"{SEMDEDUP_SCALED_CAP})) AS k FROM embeddings)),\n"
+    ),
+    src_pred="vec_id % (SELECT m FROM kdef) = 0",
+    c0_sql=(
+        "SELECT vid AS cluster, q AS c FROM ("
+        f"SELECT vid, q FROM kq WHERE vid >= {SEMDEDUP_SCALED_BASE} "
+        "ORDER BY vid LIMIT (SELECT k FROM kdef))"
     ),
 )
 def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
