@@ -387,3 +387,58 @@ def test_semdedup_scaled_k_rule_and_sql_twin():
             f"{SEMDEDUP_SCALED_CAP}))"
         ).fetchone()[0]
         assert got == semdedup_scaled_k(n), n
+
+
+def test_semdedup_matmul_assignment_matches_expression_argmax(spark, sf_dir):
+    """The Arrow-batched matmul assignment (round-6,
+    operators/similarity.py _semdedup_assigned) must pick the same
+    cell as an independent JVM-expression argmax — (cosine desc,
+    cell asc) via a row_number window — on the real embedding
+    fixture with a trained codebook.  Guards the exactness claim
+    (int64 matmul dots; float64 cosine uses the same IEEE ops as the
+    expression form) against a numpy/Arrow semantics drift."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.functions.vectors import (
+        cosine_q,
+        dot_q,
+        norm2_q,
+        quantize,
+    )
+    from map_reduce_for_dbpl_dataset_spark.operators.kmeans import kmeans_train
+    from map_reduce_for_dbpl_dataset_spark.operators.similarity import (
+        _semdedup_assigned,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_train(e, "vec_id", "embedding", [30, 31, 32, 33, 34], iters=2)
+    c = e.select(
+        F.col("vec_id").alias("_id"), quantize(F.col("embedding"), 1000).alias("_q")
+    ).withColumn("_n2", norm2_q(F.col("_q")))
+    cc = cents.select(
+        F.col("cluster").alias("_cell"),
+        F.col("c").alias("_kq"),
+        norm2_q(F.col("c")).alias("_kn2"),
+    )
+
+    got = {
+        r["_id"]: r["cluster"] for r in _semdedup_assigned(c, cc).collect()
+    }
+
+    scored = c.join(F.broadcast(cc)).withColumn(
+        "_cos",
+        cosine_q(dot_q(F.col("_q"), F.col("_kq")), F.col("_n2"), F.col("_kn2")),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_cos"), F.asc("_cell"))
+    ref = {
+        r["_id"]: r["_cell"]
+        for r in scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert got == ref
+    assert len(got) == e.count()
+    assert len(set(got.values())) > 1  # non-degenerate codebook
