@@ -2026,11 +2026,16 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     would merge two bigrams' counts identically on both sides of
     every join (never a dropped/duplicated row), and at ~2^-65 per
     pair it is not a reachable event even at a 10^9-bigram
-    vocabulary.  Prefix (first-word) masses are DERIVED from the
-    (vocabulary-sized) count table — no second corpus pass; one
-    per-doc agg at the end. Docs with < 2 tokens have no bigrams and
-    drop out (none in the fixtures). Hot bigrams are ordinary join
-    skew — AQE-splittable, no collect anywhere."""
+    vocabulary.  The exploded stream collapses ONCE to per-doc
+    bigram multiplicities (db below, lazily checkpointed): corpus
+    counts, prefix masses, and the scoring join-back all derive from
+    that single tokenize+explode+shuffle pass, and what the joins
+    move is (8-byte keys, counts) — never the text.  At sf1 the
+    query sits within ~2x of its own bare tokenize+explode floor
+    (4.1 s of 8.2 s), i.e. it is text-scan-bound, which is where a
+    corpus scoring pass should be.  Docs with < 2 tokens have no
+    bigrams and drop out (none in the fixtures). Hot bigrams are
+    ordinary join skew — AQE-splittable, no collect anywhere."""
     d = load_table(spark, sf_dir, "documents")
     big = d.select(
         "doc_id", F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg")
@@ -2039,19 +2044,34 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("bg").alias("h_bg"),
         F.xxhash64(F.substring_index("bg", " ", 1)).alias("h_w1"),
     )
-    # h_bg determines h_w1 (same bigram -> same first word), so the
-    # extra group key changes no cardinality; it rides along so pfx
-    # needs no re-derivation from strings
-    bgc = big.groupBy("h_bg", "h_w1").agg(F.count(F.lit(1)).alias("c_bg"))
+    # Collapse the exploded stream ONCE to per-doc bigram
+    # multiplicities; everything downstream derives from this single
+    # exchange (corpus counts = a second agg over it, join probe =
+    # the table itself), so Spark's ReusedExchange tokenizes and
+    # explodes the corpus exactly once — the naive join-back against
+    # the raw exploded stream re-ran the whole text pipeline for the
+    # probe side (measured ~2x the query at sf1).  h_bg determines
+    # h_w1 (same bigram -> same first word), so the extra group key
+    # changes no cardinality.
+    db = (
+        big.groupBy("doc_id", "h_bg", "h_w1")
+        .agg(F.count(F.lit(1)).alias("t"))
+        # three consumers (join probe, corpus counts, prefix masses) —
+        # pin the one tokenize+explode+shuffle pass (graph.py lazy-
+        # checkpoint pattern; planner exchange reuse does not fire
+        # across these differently-keyed aggregation branches)
+        .localCheckpoint(eager=False)
+    )
+    bgc = db.groupBy("h_bg", "h_w1").agg(F.sum("t").alias("c_bg"))
     pfx = bgc.groupBy("h_w1").agg(F.sum("c_bg").alias("c_w1"))
     return (
-        big.join(bgc, ["h_bg", "h_w1"])
+        db.join(bgc, ["h_bg", "h_w1"])
         .join(pfx, "h_w1")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("c_bg").alias("hits"),
-            F.sum("c_w1").alias("mass"),
+            F.sum("t").alias("n_bigrams"),
+            F.sum(F.col("t") * F.col("c_bg")).alias("hits"),
+            F.sum(F.col("t") * F.col("c_w1")).alias("mass"),
         )
         .withColumn("score_micro", F.expr("(hits * 1000000) div mass"))
         .select("doc_id", "n_bigrams", "hits", "mass", "score_micro")
