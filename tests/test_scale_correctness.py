@@ -61,6 +61,21 @@ SCALE_QUERIES = [
     # points; the oracle computes the same K in SQL)
     "llm_embed_classifier",
     "llm_semdedup_scaled",
+    # round-6 net widening (all oracles measured <10 s in DuckDB at
+    # sf1): simhash chunk-join dedup, the GK-sketch threshold
+    # selection (sketch merge order changes with partitioning — this
+    # point proves the bounds construction survives it), the 7-table
+    # market-share star, funnel + retention over 10x events, the
+    # rolling-hash fingerprints, the trained-IVF ANN composition,
+    # and the skew-demo salted join
+    "llm_dedup_simhash",
+    "llm_quality_select_approx",
+    "tpch_market_share",
+    "tpch_events_funnel",
+    "tpch_events_retention",
+    "llm_fingerprint_rolling",
+    "llm_ann_ivf_trained",
+    "tpch_salted_join",
 ]
 
 TABLES = (
