@@ -89,6 +89,57 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k
+    most cosine-similar corpus vectors whose LABEL DIFFERS from the
+    query's — the embedding-curation step that builds contrastive /
+    metric-learning training pairs (a positive's nearest other-class
+    neighbors are the negatives worth training on).
+
+    Scale shape: identical to brute_force_topk — the (small) query
+    set broadcasts WITH its labels, the corpus never shuffles, and
+    the label constraint rides the broadcast-join condition so
+    same-class rows are discarded BEFORE any scoring expression
+    runs; per-query top-k is limited via WindowGroupLimit ahead of
+    the exchange.  Returns (query_id, query_label, neighbor_id,
+    neighbor_label, cos_micro) with deterministic (cos desc,
+    neighbor_id asc) ranking."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        quantize(F.col(vec_col), scale).alias("_cq"),
+    ).withColumn("_cn2", norm2_q(F.col("_cq")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        quantize(F.col(vec_col), scale).alias("_qq"),
+    ).withColumn("_qn2", norm2_q(F.col("_qq")))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("cos", cosine_q(dot_q(F.col("_qq"), F.col("_cq")), F.col("_qn2"), F.col("_cn2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.floor(F.col("cos") * 1e6).cast("long").alias("cos_micro"),
+        )
+    )
+
+
 def embedding_near_pairs(
     corpus: DataFrame,
     id_col: str,

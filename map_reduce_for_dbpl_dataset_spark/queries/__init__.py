@@ -220,9 +220,10 @@ _LAST_CHECKED: dict[str, int] = {
 # assignment became the Arrow-batched numpy matmul and its pair join
 # gained the pinned shuffle_hash distribution
 # (operators/similarity.py).  Window budget note (round-5 verdict
-# #1): 49 round-3 rows + 1 new query + 9 changed rows = 59 > 50, so
-# nine round-3 rows slip to round 7 (4 rounds stale — one past
-# the ceil(148/50)=3 bound).  Accepted deliberately: a changed row's
+# #1): 49 round-3 rows + 2 new queries (llm_semdedup_scaled,
+# llm_hard_negatives) + 9 changed rows = 60 > 50, so ten round-3
+# rows slip to round 7 (4 rounds stale — one past the
+# ceil(149/50)=3 bound).  Accepted deliberately: a changed row's
 # stale green certifies NOTHING about the current code, which beats
 # a fourth-round-fresh re-check of an untouched expression query;
 # the slipped rows lead the round-7 window.

@@ -363,6 +363,50 @@ FROM ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining over the labeled embedding
+    corpus: for each of the first N_QUERY_VECS vectors, the 5 most
+    cosine-similar vectors of a DIFFERENT label — the pair-curation
+    step for contrastive / metric-learning training data (the
+    negatives worth training on are the ones the embedding currently
+    confuses with the anchor).  Plan shape = brute ANN's (queries
+    broadcast with labels, corpus never shuffles, label predicate on
+    the join condition, WindowGroupLimit before the exchange);
+    operators/similarity.py hard_negative_topk."""
+    from ..operators.similarity import hard_negative_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    return hard_negative_topk(e, queries, "vec_id", "embedding", "label", k=5).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q0 AS (SELECT vec_id, label, {_QUANT} AS q FROM embeddings),
+n AS (
+  SELECT vec_id, label, q,
+         CAST(list_sum([x * x for x in q]) AS BIGINT) AS n2
+  FROM q0
+),
+scored AS (
+  SELECT qs.vec_id AS query_id, qs.label AS query_label,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         CAST(list_sum([qs.q[i] * c.q[i] for i in range(1, {EMB_DIM + 1})]) AS DOUBLE)
+           / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
+  FROM n qs JOIN n c ON c.label != qs.label
+  WHERE qs.vec_id < {N_QUERY_VECS}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label,
+       CAST(floor(cos * 1e6) AS BIGINT) AS cos_micro
+FROM ranked WHERE rn <= 5 ORDER BY query_id, neighbor_id
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < N_QUERY_VECS)
@@ -700,6 +744,7 @@ QUERIES = {
     "llm_dedup_clusters": q_dedup_clusters,
     "llm_dedup_simhash": q_dedup_simhash,
     "llm_ann_brute_topk": q_ann_brute_topk,
+    "llm_hard_negatives": q_hard_negatives,
     "llm_ann_lsh_topk": q_ann_lsh_topk,
     "llm_dedup_embedding": q_dedup_embedding,
     "llm_fingerprint_rolling": q_fingerprint_rolling,
@@ -717,6 +762,7 @@ ORACLE_SQL = {
     "llm_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "llm_dedup_simhash": _simhash_sql(),
     "llm_ann_brute_topk": SQL_ANN_BRUTE_TOPK,
+    "llm_hard_negatives": SQL_HARD_NEGATIVES,
     "llm_ann_lsh_topk": _ann_lsh_sql(),
     "llm_dedup_embedding": _dedup_embedding_sql(),
     "llm_fingerprint_rolling": SQL_FINGERPRINT_ROLLING,

@@ -76,6 +76,7 @@ SCALE_QUERIES = [
     "llm_fingerprint_rolling",
     "llm_ann_ivf_trained",
     "tpch_salted_join",
+    "llm_hard_negatives",
 ]
 
 TABLES = (

@@ -49,6 +49,14 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "llm_ann_brute_topk": [
         ("query side broadcast", "BroadcastNestedLoopJoin"),
     ],
+    "llm_hard_negatives": [
+        # label-constrained nearest neighbors: anchors broadcast with
+        # labels (non-equi condition -> nested loop over the K-row
+        # broadcast, corpus never shuffles), per-anchor top-k limited
+        # before the exchange
+        ("anchor side broadcast", "BroadcastNestedLoopJoin"),
+        ("per-anchor top-k limited pre-exchange", "WindowGroupLimit"),
+    ],
     "tpch_bucketed_join": [
         ("bucketed scans (no join-side shuffle)", "SelectedBucketsCount: 8 out of 8"),
         ("sort-merge join over buckets", "SortMergeJoin"),
