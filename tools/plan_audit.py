@@ -49,6 +49,265 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "llm_ann_brute_topk": [
         ("query side broadcast", "BroadcastNestedLoopJoin"),
     ],
+    "tpch_window_lag_gap": [
+        # lag/gap over per-customer partitions, never one partition
+        ("no single-partition window", "!Exchange SinglePartition"),
+        ("no join anywhere", "!Join"),
+    ],
+    "tpch_window_range_frame": [
+        ("no single-partition window", "!Exchange SinglePartition"),
+        ("no join anywhere", "!Join"),
+    ],
+    "tpch_events_tumbling": [
+        # native tumbling windows: partial-agg'd, event-time filter
+        # pushed to the scan
+        ("partial agg per window", "partial_sum"),
+        ("filters pushed to scan", "PushedFilters"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_events_sliding": [
+        # sliding windows compile to ONE scan + Expand (an event
+        # replicated per overlapping window), not per-offset scans
+        ("sliding windows via Expand", "Expand"),
+        ("partial agg per window", "partial_count"),
+        ("filters pushed to scan", "PushedFilters"),
+    ],
+    "tpch_subquery_correlated": [
+        # correlated scalar subquery decorrelates to a broadcast
+        # aggregate join, never a per-row re-execution
+        ("decorrelated to a join", "BroadcastHashJoin"),
+        ("no cartesian", "!CartesianProduct"),
+        ("filters pushed to scan", "PushedFilters"),
+    ],
+    "tpch_subquery_in": [
+        ("IN-subquery as semi join", "LeftSemi"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_unpivot_melt": [
+        # unpivot compiles to Expand over one scan
+        ("unpivot via Expand", "Expand"),
+        ("partial agg after melt", "partial_sum"),
+    ],
+    "tpch_variant_json": [
+        ("VARIANT access stays JVM-side", "variant_get"),
+        ("no python UDF in the hot path", "!BatchEvalPython"),
+    ],
+    "tpch_hash_sample": [
+        # deterministic hash sample: the predicate prunes BEFORE any
+        # aggregation; tallies partial-agg'd
+        ("sample tallies partial-aggregated", "partial_count"),
+        ("filters pushed to scan", "PushedFilters"),
+    ],
+    "tpch_rollup_orders": [
+        ("rollup as single-scan Expand", "Expand"),
+        ("partial agg over levels", "partial_sum"),
+    ],
+    "tpch_stats_agg": [
+        # variance/corr etc: all mergeable partial aggregates
+        ("moment statistics partial-aggregated", "partial_sum"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "dblp_q2_consecutive_years": [
+        # longest-run: per-(author,) window over years, filter pushed
+        # to the publications scan
+        ("year filter pushed to scan", "PushedFilters"),
+        ("no single-partition window", "!Exchange SinglePartition"),
+        ("run-length counts partial-aggregated", "partial_count"),
+    ],
+    "dblp_q3_solo_titles_per_venue": [
+        ("filters pushed to scan", "PushedFilters"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "dblp_q4_max_authors_per_venue": [
+        # per-venue argmax keeps ALL ties: rank window keyed by venue
+        ("filters pushed to scan", "PushedFilters"),
+        ("no single-partition window", "!Exchange SinglePartition"),
+    ],
+    "dblp_q6_solo_only_authors": [
+        # conditional sum + veto: one explode, one partial-agg'd sum
+        ("solo/veto tallies partial-aggregated", "partial_sum"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "dblp_coauthor_pairs": [
+        ("pair counts partial-aggregated", "partial_count"),
+        ("no cartesian (pair explode, not self-join)", "!CartesianProduct"),
+    ],
+    "tpch_cube_lineitem": [
+        # CUBE compiles to ONE scan + Expand, not 2^k scans
+        ("cube as single-scan Expand", "Expand"),
+        ("partial agg over grouping sets", "partial_sum"),
+    ],
+    "tpch_grouping_sets": [
+        ("grouping sets as single-scan Expand", "Expand"),
+        ("partial agg", "partial_count"),
+    ],
+    "tpch_distinct_agg": [
+        # multi-distinct compiles to the Expand-based rewrite, never
+        # per-distinct subplans
+        ("multi-distinct via Expand rewrite", "Expand"),
+        ("partial agg", "partial_count"),
+    ],
+    "tpch_hll_incremental": [
+        # mergeable-sketch story: hll_sketch_agg partials merge; the
+        # exact twin rides the two-phase distinct
+        ("HLL sketch aggregate in plan", "hll_sketch_agg"),
+        ("exact twin two-phase distinct", "partial_count(distinct"),
+    ],
+    "tpch_events_rollup_hierarchy": [
+        ("rollup levels partial-aggregated", "partial_sum"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "src_python_datasource_pruned": [
+        # the whole point of the pruned variant: the custom Python
+        # datasource receives the pushed filters
+        ("filter pushed into the Python datasource", "PushedFilters"),
+    ],
+    "tpch_json_extract": [
+        ("json extraction stays JVM-side", "get_json_object"),
+        ("no python UDF in the hot path", "!BatchEvalPython"),
+    ],
+    "tpch_events_session": [
+        # native session windows: session_window expr + partial agg,
+        # event-time filter pushed to the scan
+        ("native session_window operator", "session_window"),
+        ("filters pushed to scan", "PushedFilters"),
+        ("partial agg", "partial_sum"),
+    ],
+    "llm_decontaminate": [
+        # benchmark shingles hit the training side as a SEMI join
+        # (containment, no row duplication); shingle counts collapse
+        # map-side
+        ("benchmark containment as semi join", "LeftSemi"),
+        ("shingle counts partial-aggregated", "partial_count"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "llm_dedup_embedding": [
+        # hyperplane-bucketed candidate join — equi on bucket ids,
+        # never an all-pairs scan
+        ("bucketed candidate join (not cartesian)", "!CartesianProduct"),
+        ("no nested-loop join", "!BroadcastNestedLoopJoin"),
+    ],
+    "llm_domain_mixture": [
+        ("per-source tallies partial-aggregated", "partial_count"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_repetition": [
+        # intra-doc repetition: pure narrow expression map
+        ("no join anywhere", "!Join"),
+        ("no window", "!Window"),
+    ],
+    "llm_token_count": [
+        ("no join anywhere", "!Join"),
+        ("no window", "!Window"),
+    ],
+    "llm_token_count_arrow": [
+        # Arrow twin of llm_token_count: same narrow shape
+        ("no join anywhere", "!Join"),
+        ("no window", "!Window"),
+    ],
+    "llm_trimmed_mean_grouped_agg": [
+        ("group tallies partial-aggregated", "partial_count"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "llm_zscore_grouped_map": [
+        # grouped-map pandas surface: one FlatMapGroupsInPandas
+        ("grouped-map Arrow stage", "FlatMapGroupsInPandas"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_quality_pandas_udf": [
+        # scalar pandas UDF rides the scan as ArrowEvalPython
+        ("Arrow-batched scalar UDF stage", "ArrowEvalPython"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_ann_lsh_topk": [
+        # single-probe LSH: bucket equi-join + per-query top-k
+        ("bucket equi-join (not cartesian)", "!CartesianProduct"),
+        ("per-query top-k limited pre-exchange", "WindowGroupLimit"),
+    ],
+    "tpch_approx_distinct": [
+        # HLL vs exact twin: both partial-agg'd (the exact side via
+        # the two-phase distinct count)
+        ("exact side two-phase distinct", "partial_count(distinct"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_asof_cogroup": [
+        # cogrouped-pandas as-of join: one FlatMapCoGroupsInPandas,
+        # both sides co-shuffled on the group key
+        ("cogrouped Arrow stage", "FlatMapCoGroupsInPandas"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_percentiles": [
+        ("percentile state partial-aggregated", "partial_"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "llm_dedup_simhash": [
+        # 32 conditional sums collapse map-side; candidate pairs come
+        # from a chunk-key equi-join, never an all-pairs scan
+        ("signature bits partial-aggregated", "partial_sum"),
+        ("chunk-key equi-join (not cartesian)", "!CartesianProduct"),
+    ],
+    "llm_dedup_exact": [
+        # fingerprint canonicalization is a per-fp window — keyed by
+        # the fingerprint, never a global sort; no join anywhere
+        ("no single-partition window", "!Exchange SinglePartition"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_dedup_incremental": [
+        # incoming batch checks the snapshot via a broadcast join;
+        # first-in-batch is a per-fp window
+        ("snapshot lookup broadcast", "BroadcastHashJoin"),
+        ("no single-partition window", "!Exchange SinglePartition"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_events_funnel": [
+        # three CASCADED conditional-min aggs — each step collapses
+        # map-side; deliberately NO per-user window (a hot user's
+        # history never buffers in one task)
+        ("step minima partial-aggregated", "partial_min"),
+        ("no per-user window buffering", "!Window"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_events_retention": [
+        # per-(cohort, week) distinct users via the two-phase
+        # partial-agg'd distinct count, never a collect_set
+        ("per-cell users two-phase distinct", "partial_count(distinct"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_market_share": [
+        # TPC-H Q8 shape: the region restriction is a SEMI probe (no
+        # row duplication), dims broadcast, revenue partial-agg'd
+        ("region filter as semi probe", "LeftSemi"),
+        ("dims broadcast", "BroadcastHashJoin"),
+        ("partial agg", "partial_sum"),
+    ],
+    "llm_fingerprint_rolling": [
+        # per-doc rolling hash: window keyed by doc, no join
+        ("no single-partition window", "!Exchange SinglePartition"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_langid": [
+        ("marker counts partial-aggregated", "partial_count"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_text_stats": [
+        # pure narrow map over (doc_id, text): no join, no window
+        ("no join anywhere", "!Join"),
+        ("no window", "!Window"),
+    ],
+    "llm_pii_scrub": [
+        ("no join anywhere", "!Join"),
+        ("no window", "!Window"),
+    ],
+    "llm_multimodal_resize": [
+        # Arrow-batched binary transform: one MapInPandas, no join
+        ("Arrow-batched binary stage", "MapInPandas"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_tfidf_top_terms": [
+        ("term/df counts partial-aggregated", "partial_count"),
+        ("df join broadcast", "BroadcastHashJoin"),
+        ("per-doc top-k limited pre-exchange", "WindowGroupLimit"),
+    ],
     "llm_hard_negatives": [
         # label-constrained nearest neighbors: anchors broadcast with
         # labels (non-equi condition -> nested loop over the K-row
@@ -559,6 +818,22 @@ def _bigram_db_plan(spark, sf_dir):
     return big.groupBy("doc_id", "h_bg", "h_w1").agg(F.count(F.lit(1)).alias("t"))
 
 
+def _cc_star_round_plan(spark, sf_dir):
+    """One large-star + small-star round of the alternating-star
+    connected-components fixpoint (operators/graph.py) over the real
+    coauthor edges — the per-round subtree the registry query hides
+    behind its localCheckpoints."""
+    from map_reduce_for_dbpl_dataset_spark.operators.graph import (
+        _large_star,
+        _small_star,
+    )
+    from map_reduce_for_dbpl_dataset_spark.queries.dblp import _coauthor_graph
+
+    edges, _ = _coauthor_graph(spark)
+    e = edges.selectExpr("src as u", "dst as v")
+    return _small_star(_large_star(e))
+
+
 def _semdedup_assign_plan(spark, sf_dir):
     """Pre-checkpoint SemDeDup cell assignment: the subtree hidden
     behind semdedup's lazy lineage cut."""
@@ -645,6 +920,16 @@ CUSTOM_CHECKS: dict = {
             ("vocab cap as global top-K heap", "TakeOrderedAndProject"),
             ("pair counts partial-aggregated", "partial_sum"),
             ("one-row merge rule broadcast", "BroadcastNestedLoopJoin"),
+        ],
+    ),
+    "cc_star_round[pre-checkpoint]": (
+        _cc_star_round_plan,
+        [
+            # one alternating-star round: min-neighbor labels collapse
+            # map-side; every join is a node-key equi-join
+            ("min-neighbor labels partial-aggregated", "partial_min"),
+            ("no cartesian", "!CartesianProduct"),
+            ("no nested-loop join", "!BroadcastNestedLoopJoin"),
         ],
     ),
     "bigram_db[pre-checkpoint]": (
