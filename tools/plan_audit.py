@@ -49,6 +49,22 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "llm_ann_brute_topk": [
         ("query side broadcast", "BroadcastNestedLoopJoin"),
     ],
+    "dblp_pagerank": [
+        # fixed-iteration Pregel shape: each superstep = one
+        # src-keyed join + one partial-agg'd dst groupBy; the
+        # loop-invariant (edge x degree) table is pinned once
+        ("rank mass partial-aggregated", "partial_sum"),
+        ("edge/degree table pinned across supersteps", "InMemoryTableScan"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "llm_multimodal_features": [
+        ("Arrow-batched binary stage", "MapInPandas"),
+        ("no join anywhere", "!Join"),
+    ],
+    "llm_multimodal_frames": [
+        ("Arrow-batched binary stage", "MapInPandas"),
+        ("no join anywhere", "!Join"),
+    ],
     "tpch_window_lag_gap": [
         # lag/gap over per-customer partitions, never one partition
         ("no single-partition window", "!Exchange SinglePartition"),
