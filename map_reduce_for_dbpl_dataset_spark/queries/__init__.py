@@ -229,6 +229,7 @@ _LAST_CHECKED: dict[str, int] = {
 # the slipped rows lead the round-7 window.
 _CHANGED: list[str] = [
     "llm_bigram_lm_score",
+    "tpch_approx_distinct",  # r3-tier: already in the window; rsd 0.05 -> 0.02
     "llm_bpe_encode",
     "llm_bpe_segment",
     "llm_bpe_train",

@@ -2048,13 +2048,19 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, mergeable across partitions — no distinct shuffle). Each
     engine checks its OWN sketch against the exact value (the compared
     column is the deterministic within-10% verdict, not the
-    engine-specific estimate)."""
+    engine-specific estimate).  rsd = 0.02, not the 0.05 default
+    neighborhood: at the sf1 scale point (~130k distinct keys per
+    group) Spark's estimator at rsd=0.05 lands 11.9% off — OUTSIDE
+    the 10% verdict band — while rsd=0.02 stays at 3.3% (measured;
+    the scale test pins this).  The sketch is still fixed-size, just
+    a larger register file — the knob a profiler actually turns when
+    a verdict band must hold at any cardinality."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_custkey").alias("exact_n"),
-            F.approx_count_distinct("o_custkey", 0.05).alias("_approx"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
         )
         .select(
             "o_orderpriority",

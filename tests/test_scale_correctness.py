@@ -77,6 +77,22 @@ SCALE_QUERIES = [
     "llm_ann_ivf_trained",
     "tpch_salted_join",
     "llm_hard_negatives",
+    # final round-6 batch: the text-analysis family (langid, stats,
+    # PII, repetition, boilerplate df-cap), the sketch pair
+    # (percentiles, HLL-vs-exact), and the sqrt-apportioned mixture —
+    # all oracles <20 s in DuckDB at sf1.  Deliberately excluded:
+    # tpch_interval_join (402 s DuckDB oracle at sf1 — Spark's bin
+    # equi-join is fine, the ORACLE is the bottleneck) and
+    # tpch_window_lag_gap (1.5M-row output makes the python-side
+    # tuple compare the cost, not the engines).
+    "llm_langid",
+    "llm_text_stats",
+    "llm_pii_scrub",
+    "llm_repetition",
+    "llm_boilerplate_lines",
+    "tpch_percentiles",
+    "tpch_approx_distinct",
+    "llm_domain_mixture",
 ]
 
 TABLES = (
