@@ -221,9 +221,11 @@ _LAST_CHECKED: dict[str, int] = {
 # gained the pinned shuffle_hash distribution
 # (operators/similarity.py).  Window budget note (round-5 verdict
 # #1): 49 round-3 rows + 2 new queries (llm_semdedup_scaled,
-# llm_hard_negatives) + 9 changed rows = 60 > 50, so ten round-3
-# rows slip to round 7 (4 rounds stale — one past the
-# ceil(149/50)=3 bound).  Accepted deliberately: a changed row's
+# llm_hard_negatives) + 9 changed round-4/5 rows = 60 > 50, so ten
+# round-3 rows slip to round 7 (4 rounds stale — one past the
+# ceil(149/50)=3 bound; the tenth _CHANGED entry,
+# tpch_approx_distinct, is itself round-3-tier and displaces
+# nothing).  Accepted deliberately: a changed row's
 # stale green certifies NOTHING about the current code, which beats
 # a fourth-round-fresh re-check of an untouched expression query;
 # the slipped rows lead the round-7 window.
