@@ -232,6 +232,7 @@ _LAST_CHECKED: dict[str, int] = {
 _CHANGED: list[str] = [
     "llm_bigram_lm_score",
     "tpch_approx_distinct",  # r3-tier: already in the window; rsd 0.05 -> 0.02
+    "tpch_interval_join",  # r3-tier: oracle re-derived (date-aggregated form)
     "llm_bpe_encode",
     "llm_bpe_segment",
     "llm_bpe_train",

@@ -81,8 +81,6 @@ SCALE_QUERIES = [
     # PII, repetition, boilerplate df-cap), the sketch pair
     # (percentiles, HLL-vs-exact), and the sqrt-apportioned mixture —
     # all oracles <20 s in DuckDB at sf1.  Deliberately excluded:
-    # tpch_interval_join (402 s DuckDB oracle at sf1 — Spark's bin
-    # equi-join is fine, the ORACLE is the bottleneck) and
     # tpch_window_lag_gap (1.5M-row output makes the python-side
     # tuple compare the cost, not the engines).
     "llm_langid",
@@ -93,6 +91,10 @@ SCALE_QUERIES = [
     "tpch_percentiles",
     "tpch_approx_distinct",
     "llm_domain_mixture",
+    # the interval join joined the net once its oracle aggregated the
+    # point side to per-date counts (pair-exact, 0.5 s vs the raw
+    # IEJoin's 402 s at sf1)
+    "tpch_interval_join",
 ]
 
 TABLES = (
