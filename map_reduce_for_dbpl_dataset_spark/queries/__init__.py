@@ -221,11 +221,11 @@ _LAST_CHECKED: dict[str, int] = {
 # gained the pinned shuffle_hash distribution
 # (operators/similarity.py).  Window budget note (round-5 verdict
 # #1): 49 round-3 rows + 2 new queries (llm_semdedup_scaled,
-# llm_hard_negatives) + 9 changed round-4/5 rows = 60 > 50, so ten
-# round-3 rows slip to round 7 (4 rounds stale — one past the
-# ceil(149/50)=3 bound; the tenth _CHANGED entry,
-# tpch_approx_distinct, is itself round-3-tier and displaces
-# nothing).  Accepted deliberately: a changed row's
+# llm_hard_negatives) + 10 changed round-4/5 rows = 62 entries
+# needing slots vs 50, so eleven round-3 rows slip to round 7 (4 rounds stale — one past the
+# ceil(149/50)=3 bound; the three round-3-tier _CHANGED entries —
+# tpch_approx_distinct, tpch_interval_join, llm_winnow_pairs — were
+# in the window regardless and displace nothing).  Accepted deliberately: a changed row's
 # stale green certifies NOTHING about the current code, which beats
 # a fourth-round-fresh re-check of an untouched expression query;
 # the slipped rows lead the round-7 window.
@@ -233,6 +233,8 @@ _CHANGED: list[str] = [
     "llm_bigram_lm_score",
     "tpch_approx_distinct",  # r3-tier: already in the window; rsd 0.05 -> 0.02
     "tpch_interval_join",  # r3-tier: oracle re-derived (date-aggregated form)
+    "llm_dedup_levenshtein",  # threshold DP + length band + salted pairs
+    "llm_winnow_pairs",  # r3-tier: lineage cuts + explicit pair repartition
     "llm_bpe_encode",
     "llm_bpe_segment",
     "llm_bpe_train",

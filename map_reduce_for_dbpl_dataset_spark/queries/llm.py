@@ -1024,7 +1024,20 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 400000).alias("doc_id"),
         F.concat("text", F.lit(" winnowed mutant tail")).alias("text"),
     )
-    corpus = d.unionAll(mut)
+    # the sliding-min fingerprint derivation below is CPU-bound
+    # higher-order work (O(len*W) per doc); a small parquet file
+    # scans as a handful of splits, so spread the corpus across
+    # cores BEFORE paying it.  The checkpoint is load-bearing: the
+    # optimizer pushes deterministic projections below a round-robin
+    # repartition (to shuffle fewer bytes), which would collapse the
+    # whole fingerprint derivation back into the 4-task scan stage —
+    # exactly the straggler this exchange exists to prevent (measured:
+    # without the cut the scan stage held 2 stragglers for ~8 min at
+    # sf1 while every later stage ran 32-wide)
+    n_parallel = spark.sparkContext.defaultParallelism
+    corpus = (
+        d.unionAll(mut).repartition(n_parallel).localCheckpoint(eager=False)
+    )
     hs = corpus.select(
         "doc_id",
         F.transform(word_shingles(tokens(F.col("text")), 3), hash60).alias("h"),
@@ -1043,12 +1056,33 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second aggregate subtree — same move as lsh_sized_buckets)
     from pyspark.sql import Window
 
-    exf = ex.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    ).filter(F.col("_df") <= WINNOW_MAX_DF)
+    exf = (
+        ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("_df") <= WINNOW_MAX_DF)
+        .select("doc_id", "fp")
+        # pin the fingerprint stream ONCE: the sliding-min transform
+        # (O(len*W) higher-order work per doc) plus the df window are
+        # the dominant cost, and both sides of the self-join would
+        # otherwise re-execute them (round-6)
+        .localCheckpoint(eager=False)
+        # then spread the pair enumeration EXPLICITLY: the join's
+        # input is small relative to its quadratic fan-out (sum of
+        # df^2 pairs — ~225M at the sf1 point, where the 10x copy
+        # structure pushes most fingerprints to df~10), and AQE
+        # coalesces the exchange by input size, blind to the fan-out
+        # — measured 4 post-coalesce tasks holding the stage for
+        # ~8 min. A user-specified repartition(n, fp) is exempt from
+        # AQE coalescing, and both join sides derive from this one
+        # exchange, so the pair work lands on n co-partitioned tasks
+        # (519 s -> 31 s at sf1 with the lineage cut + this).
+        .repartition(4 * n_parallel, "fp")
+    )
     a, b = exf.alias("a"), exf.alias("b")
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)

@@ -474,26 +474,53 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the first 25 docs are injected identically in both engines.
 
     Scale: blocking bounds the candidate set — the join shuffles on
-    the 24-char prefix, so cost is Σ block² not corpus²; real corpora
-    combine length bands + prefix. Spark ≥3.5's 3-arg
-    levenshtein(l, r, threshold) early-exits the DP at the bound (the
-    2-arg form is used here for oracle parity; DuckDB has no
-    threshold form)."""
+    the 24-char prefix, so cost is Σ block² not corpus² — and two
+    LOSSLESS per-pair cuts keep each surviving candidate cheap
+    (round-6; before them the sf1 point ran >28 min because every
+    key-shifted copy of a doc shares its 24-char prefix, and each of
+    those pairs paid a FULL O(len_a*len_b) DP on ~2 KB texts):
+
+    - length band on the join condition: |len_a - len_b| > k implies
+      distance > k, so those pairs never reach the DP;
+    - the 3-arg levenshtein(l, r, k) bounds the DP band at O(len*k)
+      (~400x less work on 2 KB texts) and returns the EXACT distance
+      for every pair within k and -1 beyond — output-identical to
+      the 2-arg form + filter, so the DuckDB oracle keeps its plain
+      levenshtein and the hash gate is unchanged.
+
+    The pair enumeration is SALTED over (blk, salt) keys with a
+    pinned shuffle_hash join — the operators/similarity.py semdedup
+    pattern: a bare prefix-key join has as many shuffle keys as
+    distinct prefixes, AQE coalesces that exchange by its tiny INPUT
+    size (blind to the quadratic fan-out), and hot prefixes leave
+    the DP work on a handful of straggler tasks (measured: 4
+    post-coalesce partitions with one straggler at the sf1 point)."""
+    from ..operators.similarity import PAIR_SALT
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     mut = d.filter(F.col("doc_id") < LEV_SEEDS).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.concat("text", F.lit(" qz")).alias("text"),
     )
     blk = d.unionAll(mut).withColumn("blk", F.substring("text", 1, LEV_BLOCK_LEN))
-    a, b = blk.alias("a"), blk.alias("b")
+    lo = blk.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"), "blk"
+    ).withColumn("_salt", F.explode(F.array(*[F.lit(s) for s in range(PAIR_SALT)])))
+    hi = blk.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"), "blk"
+    ).withColumn("_salt", F.pmod(F.xxhash64(F.col("id_b")), F.lit(PAIR_SALT)).cast("int"))
     return (
-        a.join(b, [F.col("a.blk") == F.col("b.blk"), F.col("a.doc_id") < F.col("b.doc_id")])
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("dist"),
+        lo.join(hi.hint("shuffle_hash"), ["blk", "_salt"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("_ta") - F.length("_tb")) <= LEV_MAX_DIST)
         )
-        .filter(F.col("dist") <= LEV_MAX_DIST)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_ta"), F.col("_tb"), LEV_MAX_DIST).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= LEV_MAX_DIST))
         .orderBy("id_a", "id_b")
     )
 

@@ -95,6 +95,13 @@ SCALE_QUERIES = [
     # point side to per-date counts (pair-exact, 0.5 s vs the raw
     # IEJoin's 402 s at sf1)
     "tpch_interval_join",
+    # winnowing joined the net with the round-6 lineage cuts (Spark
+    # side 519 s -> 38 s at sf1; its DuckDB oracle is 25 s there).
+    # llm_dedup_levenshtein stays oracle-excluded — DuckDB has no
+    # threshold levenshtein, so its oracle pays the full O(len^2) DP
+    # on every blocked pair (hours at sf1); the Spark side is covered
+    # by the contract test below instead.
+    "llm_winnow_pairs",
 ]
 
 TABLES = (
@@ -187,3 +194,32 @@ def test_leakage_split_invariant_at_scale(spark):
     # multi-member clusters (fewer clusters than rows) — otherwise the
     # one-split-per-cluster invariant above holds trivially
     assert len(by_cluster) < len(rows)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.path.isdir(SCALE_DIR), reason="scale fixtures not built"
+)
+def test_levenshtein_contract_at_scale(spark):
+    """llm_dedup_levenshtein's DuckDB oracle pays a full O(len^2) DP
+    per blocked pair (no threshold form in DuckDB — hours at sf1), so
+    the 10x point checks the operator's CONTRACT Spark-side: every
+    injected mutant pair is found at exactly distance 3, no reported
+    pair exceeds the bound, and pairs are unique.  The full oracle
+    hash runs at sf0.01 in the driver gate.  Before the round-6
+    threshold-DP + length-band + salted-pair fixes this query did not
+    finish at this scale point (>28 min); the test doubles as the
+    regression guard for that."""
+    import __spark_entry__ as entrymod
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        LEV_MAX_DIST,
+        LEV_SEEDS,
+    )
+
+    rows = entrymod.queries()["llm_dedup_levenshtein"](spark, SCALE_DIR).collect()
+    pairs = {(r.id_a, r.id_b): r.dist for r in rows}
+    assert len(pairs) == len(rows)  # no duplicate pairs
+    assert all(0 <= d <= LEV_MAX_DIST for d in pairs.values())
+    # every seed doc pairs with its ' qz' mutant at exactly distance 3
+    for seed in range(LEV_SEEDS):
+        assert pairs.get((seed, seed + 300000)) == 3, seed

@@ -384,10 +384,12 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("no cartesian", "!CartesianProduct"),
     ],
     "llm_winnow_pairs": [
+        # fingerprint derivation + df-cap window sit behind the
+        # round-6 lineage cuts — audited pre-checkpoint by
+        # winnow_fps[pre-checkpoint]; here the pair join must stay an
+        # fp equi-join feeding a partial-agg'd pair count
         ("no cartesian", "!CartesianProduct"),
         ("pair counts partial-aggregated", "partial_count"),
-        # document-frequency cap rides the fp shuffle as a window
-        ("df cap via window, not a second agg subtree", "Window"),
     ],
     "tpch_weighted_sample": [
         # the distributed reservoir: global k-largest-keys must plan
@@ -834,6 +836,45 @@ def _bigram_db_plan(spark, sf_dir):
     return big.groupBy("doc_id", "h_bg", "h_w1").agg(F.count(F.lit(1)).alias("t"))
 
 
+def _winnow_fps_plan(spark, sf_dir):
+    """Pre-checkpoint winnowing fingerprint stream (queries/llm.py
+    q_winnow_pairs): shingle-hash + sliding-min + df-cap window, the
+    subtree the registry query pins behind its lineage cuts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.functions.text import (
+        hash60,
+        tokens,
+        word_shingles,
+    )
+    from map_reduce_for_dbpl_dataset_spark.queries.llm import (
+        WINNOW_MAX_DF,
+        WINNOW_W,
+    )
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import load_table
+
+    W = WINNOW_W
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hs = d.select(
+        "doc_id",
+        F.transform(word_shingles(tokens(F.col("text")), 3), hash60).alias("h"),
+    ).filter(F.size("h") >= W)
+    fps = hs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("h") - W),
+                lambda i: F.array_min(F.slice(F.col("h"), i + 1, F.lit(W))),
+            )
+        ).alias("fps"),
+    )
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    return ex.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= WINNOW_MAX_DF)
+
+
 def _cc_star_round_plan(spark, sf_dir):
     """One large-star + small-star round of the alternating-star
     connected-components fixpoint (operators/graph.py) over the real
@@ -936,6 +977,16 @@ CUSTOM_CHECKS: dict = {
             ("vocab cap as global top-K heap", "TakeOrderedAndProject"),
             ("pair counts partial-aggregated", "partial_sum"),
             ("one-row merge rule broadcast", "BroadcastNestedLoopJoin"),
+        ],
+    ),
+    "winnow_fps[pre-checkpoint]": (
+        _winnow_fps_plan,
+        [
+            # the df cap rides the fp shuffle as a window (no second
+            # aggregate subtree), keyed by fp — never one partition
+            ("df cap via window, not a second agg subtree", "Window"),
+            ("no single-partition window", "!Exchange SinglePartition"),
+            ("no join in the derivation", "!Join"),
         ],
     ),
     "cc_star_round[pre-checkpoint]": (
