@@ -1893,9 +1893,25 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output per pair: span count, longest span, total matched
     positions. At 100 TB: one explode, the key join (AQE-splittable),
-    one window keyed by (pair, diagonal) — state bounded per pair."""
+    one window keyed by (pair, diagonal) — state bounded per pair.
+
+    Round-6 lineage/spread discipline (the recurring pair-stage
+    toolkit — see q_winnow_pairs): the positional-shingle derivation
+    is O(len*K) higher-order work per doc, so the corpus spreads
+    across cores behind a cut (the optimizer would otherwise push
+    the derivation back into the few-split scan stage); the derived
+    stream and the df-capped position table are each pinned ONCE
+    (df-count lineage + both self-join sides would re-run them); and
+    the pair join spreads over an AQE-exempt repartition on the
+    shingle key (86 s -> ~11 s at the sf1 point)."""
     toks = tokens(F.col("text"))
-    d = load_table(spark, sf_dir, "documents")
+    n_parallel = spark.sparkContext.defaultParallelism
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parallel)
+        .localCheckpoint(eager=False)
+    )
     shingled = d.select(
         "doc_id",
         F.posexplode(
@@ -1910,10 +1926,14 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: F.size(F.split(s, " ")) >= SPAN_K,
             )
         ).alias("p", "sh"),
-    ).select("doc_id", "p", hash60(F.col("sh")).alias("sk"))
+    ).select("doc_id", "p", hash60(F.col("sh")).alias("sk")).localCheckpoint(
+        eager=False
+    )
     sk_df = shingled.groupBy("sk").agg(F.count_distinct("doc_id").alias("df"))
-    pos = shingled.join(
-        sk_df.filter(F.col("df") <= SPAN_DF_CAP).select("sk"), "sk"
+    pos = (
+        shingled.join(sk_df.filter(F.col("df") <= SPAN_DF_CAP).select("sk"), "sk")
+        .localCheckpoint(eager=False)
+        .repartition(4 * n_parallel, "sk")
     )
     pairs = (
         pos.select(F.col("doc_id").alias("id_a"), F.col("p").alias("p_a"), "sk")
