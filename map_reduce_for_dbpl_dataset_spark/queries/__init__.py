@@ -52,46 +52,9 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # a later one).  Queries absent from this map have never been driver
 # checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 3 (49 rows — stalest; the round-6 window leads with
-    # these: the whole stream_* parity family, the graph family, and
-    # the tpch scalar/sketch/join batch) ---
-    "dblp_coauthor_components_star": 3,
-    "dblp_coauthor_triangles": 3,
-    "dblp_pagerank": 3,
-    "dblp_q5_literal_all": 3,
-    "dblp_q5_top_coauthor_volume": 3,
-    "dblp_q6_solo_only_authors": 3,
-    "dblp_xml_ingest": 3,
-    "llm_ann_pq": 3,
-    "llm_boilerplate_lines": 3,
-    "llm_dedup_incremental": 3,
-    "llm_dedup_minhash_lsh": 3,
-    "llm_quality_select": 3,
-    "llm_repetition": 3,
-    "llm_token_count": 3,
-    "llm_trimmed_mean_grouped_agg": 3,
-    "llm_winnow_pairs": 3,
-    "stream_dedup_parity": 3,
-    "stream_session_parity": 3,
-    "stream_sliding_parity": 3,
-    "stream_stateful_user_stats": 3,
-    "stream_stream_join_parity": 3,
-    "stream_tumbling_parity": 3,
-    "tpch_approx_distinct": 3,
-    "tpch_array_ops": 3,
-    "tpch_asof_cogroup": 3,
-    "tpch_bloom_filter_join": 3,
-    "tpch_cms_heavy_hitters": 3,
-    "tpch_dynamic_partition_pruning": 3,
-    "tpch_events_rollup_hierarchy": 3,
-    "tpch_hash_sample": 3,
-    "tpch_histogram": 3,
-    "tpch_hll_incremental": 3,
-    "tpch_interval_join": 3,
-    "tpch_json_extract": 3,
-    "tpch_lateral_posexplode": 3,
-    "tpch_merge_upsert": 3,
-    "tpch_percentiles": 3,
+    # --- round 3 (11 rows — stalest; these slipped past the window in
+    # rounds 5 and 6 (budget notes in the round-6 registry comment) and
+    # lead the round-7 window right after never-checked and _CHANGED) ---
     "tpch_salted_agg": 3,
     "tpch_salted_join": 3,
     "tpch_sql_api_top_spenders": 3,
@@ -101,7 +64,6 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_unpivot_melt": 3,
     "tpch_variant_json": 3,
     "tpch_weighted_sample": 3,
-    "tpch_window_ntile": 3,
     "tpch_window_range_frame": 3,
     "tpch_zorder_range_scan": 3,
     # --- round 4 (48 rows) ---
@@ -153,28 +115,20 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 4,
     "tpch_window_lag_gap": 4,
     "tpch_window_running_total": 4,
-    # --- round 5 (50 rows, freshest: the 28 round-2-stale re-checks,
-    # the 3 re-certified-after-change rows, and the 19 round-5
-    # newcomers) ---
+    # --- round 5 (40 rows) ---
     "llm_ann_brute_topk": 5,
     "llm_ann_ivf": 5,
     "llm_ann_ivf_trained": 5,
     "llm_ann_lsh_topk": 5,
     "llm_ann_pq_trained": 5,
-    "llm_bigram_lm_score": 5,
-    "llm_bpe_encode": 5,
-    "llm_bpe_segment": 5,
-    "llm_bpe_train": 5,
     "llm_cluster_top_terms": 5,
     "llm_decontaminate": 5,
     "llm_decontaminate_semantic": 5,
     "llm_dedup_clusters": 5,
     "llm_dedup_embedding": 5,
     "llm_dedup_exact": 5,
-    "llm_dedup_levenshtein": 5,
     "llm_dedup_simhash": 5,
     "llm_domain_mixture": 5,
-    "llm_embed_classifier": 5,
     "llm_fingerprint_rolling": 5,
     "llm_inverted_index": 5,
     "llm_kmeans": 5,
@@ -188,9 +142,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_pii_scrub": 5,
     "llm_quality_pandas_udf": 5,
     "llm_quality_select_approx": 5,
-    "llm_semdedup": 5,
-    "llm_semdedup_trained": 5,
-    "llm_semdedup_trained_k32": 5,
     "llm_sequence_pack": 5,
     "llm_text_stats": 5,
     "llm_tfidf_top_terms": 5,
@@ -198,7 +149,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_zscore_grouped_map": 5,
     "stream_checkpoint_recovery": 5,
     "stream_late_drop_parity": 5,
-    "tpch_events_funnel": 5,
     "tpch_events_retention": 5,
     "tpch_market_share": 5,
     "tpch_sink_csv_roundtrip": 5,
@@ -206,43 +156,74 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_sink_orc_roundtrip": 5,
     "tpch_sink_partitioned_parquet": 5,
     "tpch_sink_text_ordered": 5,
+    # --- round 6 (50 rows, freshest) ---
+    "dblp_coauthor_components_star": 6,
+    "dblp_coauthor_triangles": 6,
+    "dblp_pagerank": 6,
+    "dblp_q5_literal_all": 6,
+    "dblp_q5_top_coauthor_volume": 6,
+    "dblp_q6_solo_only_authors": 6,
+    "dblp_xml_ingest": 6,
+    "llm_ann_pq": 6,
+    "llm_bigram_lm_score": 6,
+    "llm_boilerplate_lines": 6,
+    "llm_bpe_encode": 6,
+    "llm_bpe_segment": 6,
+    "llm_bpe_train": 6,
+    "llm_dedup_incremental": 6,
+    "llm_dedup_levenshtein": 6,
+    "llm_dedup_minhash_lsh": 6,
+    "llm_embed_classifier": 6,
+    "llm_hard_negatives": 6,
+    "llm_quality_select": 6,
+    "llm_repetition": 6,
+    "llm_semdedup": 6,
+    "llm_semdedup_scaled": 6,
+    "llm_semdedup_trained": 6,
+    "llm_semdedup_trained_k32": 6,
+    "llm_token_count": 6,
+    "llm_trimmed_mean_grouped_agg": 6,
+    "llm_winnow_pairs": 6,
+    "stream_dedup_parity": 6,
+    "stream_session_parity": 6,
+    "stream_sliding_parity": 6,
+    "stream_stateful_user_stats": 6,
+    "stream_stream_join_parity": 6,
+    "stream_tumbling_parity": 6,
+    "tpch_approx_distinct": 6,
+    "tpch_array_ops": 6,
+    "tpch_asof_cogroup": 6,
+    "tpch_bloom_filter_join": 6,
+    "tpch_cms_heavy_hitters": 6,
+    "tpch_dynamic_partition_pruning": 6,
+    "tpch_events_funnel": 6,
+    "tpch_events_rollup_hierarchy": 6,
+    "tpch_hash_sample": 6,
+    "tpch_histogram": 6,
+    "tpch_hll_incremental": 6,
+    "tpch_interval_join": 6,
+    "tpch_json_extract": 6,
+    "tpch_lateral_posexplode": 6,
+    "tpch_merge_upsert": 6,
+    "tpch_percentiles": 6,
+    "tpch_window_ntile": 6,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row (the round-5 entries were all re-certified green in
-# CORRECTNESS_r05.json and folded above).  Round-6 changes:
-# llm_bigram_lm_score moved every exchange onto 8-byte xxhash64 keys;
-# llm_embed_classifier switched to the integer-divided-mean centroid
-# form (corpus-independent BIGINT bound — its oracle changed in
-# lockstep); tpch_events_funnel replaced the dropped-aggregate users
-# table with select-distinct; the three BPE queries gained the
-# early-stop/budget-R trainer loop; the SemDeDup family's cell
-# assignment became the Arrow-batched numpy matmul and its pair join
-# gained the pinned shuffle_hash distribution
-# (operators/similarity.py).  Window budget note (round-5 verdict
-# #1): 49 round-3 rows + 2 new queries (llm_semdedup_scaled,
-# llm_hard_negatives) + 10 changed round-4/5 rows = 62 entries
-# needing slots vs 50, so eleven round-3 rows slip to round 7 (4 rounds stale — one past the
-# ceil(149/50)=3 bound; the three round-3-tier _CHANGED entries —
-# tpch_approx_distinct, tpch_interval_join, llm_winnow_pairs — were
-# in the window regardless and displace nothing).  Accepted deliberately: a changed row's
-# stale green certifies NOTHING about the current code, which beats
-# a fourth-round-fresh re-check of an untouched expression query;
-# the slipped rows lead the round-7 window.
+# green driver row.  Round-7 entries: llm_substring_spans (last green
+# r4) and llm_dedup_embedding (last green r5) were touched by the
+# round-6 end-of-round snapshot commit 2fe0d69 (lazy localCheckpoint
+# lineage cuts) AFTER their last driver check and without _CHANGED
+# entries — the round-6 verdict (What's wrong #2) re-verified both
+# against their oracles out-of-band (PASS) and prescribed recertifying
+# them here.  Window budget: 2 changed + 11 round-3-stale rows lead
+# the round-7 window; new round-7 queries displace round-4 refreshes
+# one-for-one (with ~164 registry entries the staleness bound is
+# ceil(164/50) = 4 rounds, so round-4 rows refreshed in round 8 stay
+# inside the bound).
 _CHANGED: list[str] = [
-    "llm_bigram_lm_score",
-    "tpch_approx_distinct",  # r3-tier: already in the window; rsd 0.05 -> 0.02
-    "tpch_interval_join",  # r3-tier: oracle re-derived (date-aggregated form)
-    "llm_dedup_levenshtein",  # threshold DP + length band + salted pairs
-    "llm_winnow_pairs",  # r3-tier: lineage cuts + explicit pair repartition
-    "llm_bpe_encode",
-    "llm_bpe_segment",
-    "llm_bpe_train",
-    "llm_embed_classifier",
-    "llm_semdedup",
-    "llm_semdedup_trained",
-    "llm_semdedup_trained_k32",
-    "tpch_events_funnel",
+    "llm_dedup_embedding",  # r6 snapshot stray: lineage cut in embedding_near_pairs
+    "llm_substring_spans",  # r6 snapshot stray: lineage cuts in q_substring_spans
 ]
 
 
