@@ -47,64 +47,17 @@ from . import bpe, dblp, llm, pipeline, sinks_queries, streaming_queries, tpch
 _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 
 # Last round in which the grading driver recorded a green CORRECTNESS
-# row for each query (union of CORRECTNESS_r01..r05.json — all rows in
-# each file were green at that round's check or fixed-and-rechecked in
-# a later one).  Queries absent from this map have never been driver
-# checked and sort to the very front.
+# row for each query (union of all CORRECTNESS_r*.json files folded so
+# far — all rows in each file were green at that round's check or
+# fixed-and-rechecked in a later one).  Queries absent from this map
+# have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 3 (11 rows — stalest; these slipped past the window in
-    # rounds 5 and 6 (budget notes in the round-6 registry comment) and
-    # lead the round-7 window right after never-checked and _CHANGED) ---
-    "tpch_salted_agg": 3,
-    "tpch_salted_join": 3,
-    "tpch_sql_api_top_spenders": 3,
-    "tpch_subquery_not_exists": 3,
-    "tpch_udtf_series": 3,
-    "tpch_union_by_name": 3,
-    "tpch_unpivot_melt": 3,
-    "tpch_variant_json": 3,
-    "tpch_weighted_sample": 3,
-    "tpch_window_range_frame": 3,
-    "tpch_zorder_range_scan": 3,
-    # --- round 4 (48 rows) ---
-    "dblp_coauthor_components": 4,
-    "dblp_coauthor_pairs": 4,
-    "dblp_q1_top_authors_per_venue": 4,
-    "dblp_q2_consecutive_years": 4,
-    "dblp_q2_literal_dupreset": 4,
-    "dblp_q3_solo_titles_per_venue": 4,
-    "dblp_q4_max_authors_per_venue": 4,
-    "llm_chunk_overlap": 4,
-    "llm_corpus_shuffle": 4,
-    "llm_mixture_sample": 4,
-    "llm_substring_spans": 4,
-    "llm_token_rarity": 4,
-    "src_python_datasource": 4,
-    "src_python_datasource_pruned": 4,
-    "stream_foreachbatch_sink": 4,
-    "stream_transform_with_state_gate": 4,
-    "tpch_asof_latest_order": 4,
-    "tpch_bucketed_join": 4,
-    "tpch_case_tiers": 4,
-    "tpch_cube_lineitem": 4,
-    "tpch_distinct_agg": 4,
-    "tpch_events_session": 4,
-    "tpch_events_sliding": 4,
-    "tpch_events_tumbling": 4,
-    "tpch_grouping_sets": 4,
-    "tpch_join_anti": 4,
-    "tpch_join_full_outer": 4,
-    "tpch_join_left_order_counts": 4,
-    "tpch_join_nonequi": 4,
-    "tpch_join_range_bands": 4,
-    "tpch_join_semi": 4,
-    "tpch_map_ops": 4,
-    "tpch_null_semantics": 4,
-    "tpch_pivot_status": 4,
-    "tpch_pricing_summary": 4,
-    "tpch_revenue_by_nation": 4,
-    "tpch_rollup_orders": 4,
-    "tpch_scalar_date": 4,
+    # --- round 4 (10 rows — stalest; these are 4 rounds stale, one
+    # round past the ceil(149/50)=3 bound, because rounds 5-7 spent
+    # window slots on new queries and _CHANGED recertifications; they
+    # lead the round-8 window and the round-7 verdict re-verified all
+    # 10 against their oracles out-of-band (10/10 PASS), so none is
+    # stale-and-wrong) ---
     "tpch_scalar_math": 4,
     "tpch_scalar_string": 4,
     "tpch_scan_filter_project": 4,
@@ -115,7 +68,7 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 4,
     "tpch_window_lag_gap": 4,
     "tpch_window_running_total": 4,
-    # --- round 5 (40 rows) ---
+    # --- round 5 (39 rows) ---
     "llm_ann_brute_topk": 5,
     "llm_ann_ivf": 5,
     "llm_ann_ivf_trained": 5,
@@ -125,7 +78,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_decontaminate": 5,
     "llm_decontaminate_semantic": 5,
     "llm_dedup_clusters": 5,
-    "llm_dedup_embedding": 5,
     "llm_dedup_exact": 5,
     "llm_dedup_simhash": 5,
     "llm_domain_mixture": 5,
@@ -156,7 +108,7 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_sink_orc_roundtrip": 5,
     "tpch_sink_partitioned_parquet": 5,
     "tpch_sink_text_ordered": 5,
-    # --- round 6 (50 rows, freshest) ---
+    # --- round 6 (50 rows) ---
     "dblp_coauthor_components_star": 6,
     "dblp_coauthor_triangles": 6,
     "dblp_pagerank": 6,
@@ -207,24 +159,68 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_merge_upsert": 6,
     "tpch_percentiles": 6,
     "tpch_window_ntile": 6,
+    # --- round 7 (50 rows, freshest) ---
+    "dblp_coauthor_components": 7,
+    "dblp_coauthor_pairs": 7,
+    "dblp_q1_top_authors_per_venue": 7,
+    "dblp_q2_consecutive_years": 7,
+    "dblp_q2_literal_dupreset": 7,
+    "dblp_q3_solo_titles_per_venue": 7,
+    "dblp_q4_max_authors_per_venue": 7,
+    "llm_chunk_overlap": 7,
+    "llm_corpus_shuffle": 7,
+    "llm_dedup_embedding": 7,
+    "llm_mixture_sample": 7,
+    "llm_substring_spans": 7,
+    "llm_token_rarity": 7,
+    "src_python_datasource": 7,
+    "src_python_datasource_pruned": 7,
+    "stream_foreachbatch_sink": 7,
+    "stream_transform_with_state_gate": 7,
+    "tpch_asof_latest_order": 7,
+    "tpch_bucketed_join": 7,
+    "tpch_case_tiers": 7,
+    "tpch_cube_lineitem": 7,
+    "tpch_distinct_agg": 7,
+    "tpch_events_session": 7,
+    "tpch_events_sliding": 7,
+    "tpch_events_tumbling": 7,
+    "tpch_grouping_sets": 7,
+    "tpch_join_anti": 7,
+    "tpch_join_full_outer": 7,
+    "tpch_join_left_order_counts": 7,
+    "tpch_join_nonequi": 7,
+    "tpch_join_range_bands": 7,
+    "tpch_join_semi": 7,
+    "tpch_map_ops": 7,
+    "tpch_null_semantics": 7,
+    "tpch_pivot_status": 7,
+    "tpch_pricing_summary": 7,
+    "tpch_revenue_by_nation": 7,
+    "tpch_rollup_orders": 7,
+    "tpch_salted_agg": 7,
+    "tpch_salted_join": 7,
+    "tpch_scalar_date": 7,
+    "tpch_sql_api_top_spenders": 7,
+    "tpch_subquery_not_exists": 7,
+    "tpch_udtf_series": 7,
+    "tpch_union_by_name": 7,
+    "tpch_unpivot_melt": 7,
+    "tpch_variant_json": 7,
+    "tpch_weighted_sample": 7,
+    "tpch_window_range_frame": 7,
+    "tpch_zorder_range_scan": 7,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-7 entries: llm_substring_spans (last green
-# r4) and llm_dedup_embedding (last green r5) were touched by the
-# round-6 end-of-round snapshot commit 2fe0d69 (lazy localCheckpoint
-# lineage cuts) AFTER their last driver check and without _CHANGED
-# entries — the round-6 verdict (What's wrong #2) re-verified both
-# against their oracles out-of-band (PASS) and prescribed recertifying
-# them here.  Window budget: 2 changed + 11 round-3-stale rows lead
-# the round-7 window; new round-7 queries displace round-4 refreshes
-# one-for-one (with ~164 registry entries the staleness bound is
-# ceil(164/50) = 4 rounds, so round-4 rows refreshed in round 8 stay
-# inside the bound).
-_CHANGED: list[str] = [
-    "llm_dedup_embedding",  # r6 snapshot stray: lineage cut in embedding_near_pairs
-    "llm_substring_spans",  # r6 snapshot stray: lineage cuts in q_substring_spans
-]
+# green driver row.  Window budget: with 149 registry entries the
+# staleness bound is ceil(149/50) = 3 rounds; the 10 round-4 rows
+# above are one round past it (rounds 5-7 spent their slots on new
+# queries and recertifications) and lead the round-8 window, followed
+# by the 39 round-5 rows and 1 round-6 row.  Any query whose
+# implementation or oracle changes during round 8 must be listed here
+# before round end so it re-certifies first.
+_CHANGED: list[str] = []
 
 
 def _surface_risk(n: str) -> int:
