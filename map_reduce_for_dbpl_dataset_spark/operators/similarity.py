@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_q, dot_q, norm2_q, quantize
+from .pairs import spread_for_pair_join
 
 # Deterministic hyperplane coefficients: c(j, i) from a 31-bit LCG,
 # shifted to be sign-balanced. Reproducible in SQL as
@@ -159,22 +160,17 @@ def embedding_near_pairs(
     Zipfian bucket skew is handled by AQE skew-split, or add more
     planes to shrink buckets.
     """
-    n_parallel = corpus.sparkSession.sparkContext.defaultParallelism
-    c = (
+    # pin the signature computation ONCE (both join sides would
+    # re-run the 8 plane dot products per row), then spread the
+    # quadratic pair fan-out explicitly — AQE would coalesce the
+    # exchange by its (tiny) input size, blind to sum-bucket^2 pairs
+    # (measured 68 s -> ~8 s at the sf1 point; rationale in
+    # operators/pairs.py)
+    c = spread_for_pair_join(
         corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col), scale).alias("_q"))
         .withColumn("_n2", norm2_q(F.col("_q")))
-        .withColumn("bucket", _bucket_expr(F.col("_q"), dim))
-        # pin the signature computation ONCE (both join sides would
-        # re-run the 8 plane dot products per row), then spread the
-        # quadratic pair fan-out EXPLICITLY: the exchange input is
-        # small relative to sum-bucket^2 pairs, so AQE coalesces it
-        # to a handful of tasks blind to the fan-out (the recurring
-        # pair-stage trap — semdedup/levenshtein/winnow all hit it;
-        # measured 68 s -> ~8 s best-of-2 at the sf1 point). A user-specified
-        # repartition(n, bucket) is exempt from AQE coalescing and
-        # both sides derive from this one exchange.
-        .localCheckpoint(eager=False)
-        .repartition(4 * n_parallel, "bucket")
+        .withColumn("bucket", _bucket_expr(F.col("_q"), dim)),
+        "bucket",
     )
     a = c.select(F.col("_id").alias("id_a"), F.col("_q").alias("_qa"), F.col("_n2").alias("_na"), "bucket")
     b = c.select(F.col("_id").alias("id_b"), F.col("_q").alias("_qb"), F.col("_n2").alias("_nb"), "bucket")

@@ -213,14 +213,21 @@ _LAST_CHECKED: dict[str, int] = {
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Window budget: with 149 registry entries the
-# staleness bound is ceil(149/50) = 3 rounds; the 10 round-4 rows
-# above are one round past it (rounds 5-7 spent their slots on new
-# queries and recertifications) and lead the round-8 window, followed
-# by the 39 round-5 rows and 1 round-6 row.  Any query whose
-# implementation or oracle changes during round 8 must be listed here
-# before round end so it re-certifies first.
-_CHANGED: list[str] = []
+# green driver row.  Round-8 entries: the three callers of the
+# extracted spread_for_pair_join helper (operators/pairs.py — the
+# round-7 verdict's item 4 consolidation of the hand-rolled
+# checkpoint+keyed-repartition pair-spread sites).  The refactor is
+# plan-preserving by construction and re-verified against the DuckDB
+# oracles in-round, but the policy is that a source change voids the
+# old green row, so they re-certify first.  Window budget: 3 changed
+# + the 10 round-4 rows lead the round-8 window, then 37 of the 39
+# round-5 rows; with 149 registry entries the staleness bound is
+# ceil(149/50) = 3 rounds.
+_CHANGED: list[str] = [
+    "llm_dedup_embedding",  # embedding_near_pairs -> spread_for_pair_join
+    "llm_substring_spans",  # _span_positions factored + spread_for_pair_join
+    "llm_winnow_pairs",  # fingerprint spread -> spread_for_pair_join
+]
 
 
 def _surface_risk(n: str) -> int:

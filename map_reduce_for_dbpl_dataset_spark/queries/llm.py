@@ -48,6 +48,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
 )
 from ..functions.text import ROLL_B, ROLL_P, rolling_fingerprint
+from ..operators.pairs import spread_for_pair_join
 from ..operators.similarity import (
     N_PLANES,
     brute_force_topk,
@@ -1056,26 +1057,19 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second aggregate subtree — same move as lsh_sized_buckets)
     from pyspark.sql import Window
 
-    exf = (
+    # pin the fingerprint stream once (the O(len*W) sliding-min
+    # transform plus the df window are the dominant cost — both
+    # self-join sides would re-execute them), then spread the pair
+    # enumeration explicitly: sum-df^2 pairs is ~225M at the sf1
+    # point while the exchange INPUT is tiny, and AQE coalesces by
+    # input size blind to the fan-out — measured 4 post-coalesce
+    # tasks holding the stage ~8 min; 519 s -> 31 s with the spread
+    # (rationale in operators/pairs.py)
+    exf = spread_for_pair_join(
         ex.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("_df") <= WINNOW_MAX_DF)
-        .select("doc_id", "fp")
-        # pin the fingerprint stream ONCE: the sliding-min transform
-        # (O(len*W) higher-order work per doc) plus the df window are
-        # the dominant cost, and both sides of the self-join would
-        # otherwise re-execute them (round-6)
-        .localCheckpoint(eager=False)
-        # then spread the pair enumeration EXPLICITLY: the join's
-        # input is small relative to its quadratic fan-out (sum of
-        # df^2 pairs — ~225M at the sf1 point, where the 10x copy
-        # structure pushes most fingerprints to df~10), and AQE
-        # coalesces the exchange by input size, blind to the fan-out
-        # — measured 4 post-coalesce tasks holding the stage for
-        # ~8 min. A user-specified repartition(n, fp) is exempt from
-        # AQE coalescing, and both join sides derive from this one
-        # exchange, so the pair work lands on n co-partitioned tasks
-        # (519 s -> 31 s at sf1 with the lineage cut + this).
-        .repartition(4 * n_parallel, "fp")
+        .select("doc_id", "fp"),
+        "fp",
     )
     a, b = exf.alias("a"), exf.alias("b")
     return (

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60, normalize_text, tokens, word_shingles
+from ..operators.pairs import spread_for_pair_join
 from ..operators.similarity import ivf_topk, pq_adc_topk
 from ..sources.parquet import load_table
 from .llm import _SH_CTE, EMB_DIM, N_QUERY_VECS, _docs_shingled
@@ -1877,42 +1878,12 @@ SPAN_K = 16
 SPAN_DF_CAP = 64  # drop shingle keys seen in more docs (boilerplate guard)
 
 
-def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal shared token spans (>= SPAN_K tokens) per document pair:
-
-    1. K-shingle each doc WITH POSITION (narrow: posexplode of the
-       zip_with shingle array), key by hash60 — shuffles carry 8-byte
-       keys, never span text;
-    2. cap shingle document-frequency at SPAN_DF_CAP (two-phase
-       distinct count, same guard as winnowing's df cap) — a
-       boilerplate shingle shared by the whole corpus would otherwise
-       produce a df^2 join blowup;
-    3. equi-join positions across docs (id_a < id_b), then merge
-       consecutive positions per (pair, diagonal) into maximal spans
-       with one gaps-and-islands window — run_len + K - 1 tokens.
-
-    Output per pair: span count, longest span, total matched
-    positions. At 100 TB: one explode, the key join (AQE-splittable),
-    one window keyed by (pair, diagonal) — state bounded per pair.
-
-    Round-6 lineage/spread discipline (the recurring pair-stage
-    toolkit — see q_winnow_pairs): the positional-shingle derivation
-    is O(len*K) higher-order work per doc, so the corpus spreads
-    across cores behind a cut (the optimizer would otherwise push
-    the derivation back into the few-split scan stage); the derived
-    stream and the df-capped position table are each pinned ONCE
-    (df-count lineage + both self-join sides would re-run them); and
-    the pair join spreads over an AQE-exempt repartition on the
-    shingle key (86 s -> ~11 s at the sf1 point)."""
+def _span_shingled(d: DataFrame) -> DataFrame:
+    """Step 1 of q_substring_spans: positional K-shingles keyed by
+    hash60 — shuffles carry (doc_id, position, 8-byte key), never span
+    text.  Narrow: one posexplode of the per-doc shingle array."""
     toks = tokens(F.col("text"))
-    n_parallel = spark.sparkContext.defaultParallelism
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(n_parallel)
-        .localCheckpoint(eager=False)
-    )
-    shingled = d.select(
+    return d.select(
         "doc_id",
         F.posexplode(
             F.filter(
@@ -1926,15 +1897,55 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: F.size(F.split(s, " ")) >= SPAN_K,
             )
         ).alias("p", "sh"),
-    ).select("doc_id", "p", hash60(F.col("sh")).alias("sk")).localCheckpoint(
-        eager=False
-    )
+    ).select("doc_id", "p", hash60(F.col("sh")).alias("sk"))
+
+
+def _span_positions(shingled: DataFrame) -> DataFrame:
+    """Step 2 of q_substring_spans: cap shingle document-frequency at
+    SPAN_DF_CAP (two-phase distinct count — partial_count(distinct)
+    collapses map-side) — a boilerplate shingle shared by the whole
+    corpus would otherwise produce a df^2 join blowup.
+
+    The registry query hides this subtree behind lineage cuts (Scan
+    ExistingRDD in its explained plan), so the df-cap plan property is
+    asserted pre-cut by tools/plan_audit.py
+    ``substring_spans[pre-checkpoint]``."""
     sk_df = shingled.groupBy("sk").agg(F.count_distinct("doc_id").alias("df"))
-    pos = (
-        shingled.join(sk_df.filter(F.col("df") <= SPAN_DF_CAP).select("sk"), "sk")
+    return shingled.join(sk_df.filter(F.col("df") <= SPAN_DF_CAP).select("sk"), "sk")
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared token spans (>= SPAN_K tokens) per document pair:
+
+    1. K-shingle each doc WITH POSITION (``_span_shingled``);
+    2. cap shingle document-frequency at SPAN_DF_CAP
+       (``_span_positions``);
+    3. equi-join positions across docs (id_a < id_b), then merge
+       consecutive positions per (pair, diagonal) into maximal spans
+       with one gaps-and-islands window — run_len + K - 1 tokens.
+
+    Output per pair: span count, longest span, total matched
+    positions. At 100 TB: one explode, the key join (AQE-splittable),
+    one window keyed by (pair, diagonal) — state bounded per pair.
+
+    Round-6 lineage/spread discipline (rationale in
+    operators/pairs.py): the positional-shingle derivation is
+    O(len*K) higher-order work per doc, so the corpus spreads across
+    cores behind a cut (the optimizer would otherwise push the
+    derivation back into the few-split scan stage); the derived
+    stream is pinned ONCE (the df-count lineage and the join probe
+    would re-run it); and the df-capped position table goes through
+    spread_for_pair_join before serving as both self-join sides
+    (86 s -> ~11 s at the sf1 point)."""
+    n_parallel = spark.sparkContext.defaultParallelism
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(n_parallel)
         .localCheckpoint(eager=False)
-        .repartition(4 * n_parallel, "sk")
     )
+    shingled = _span_shingled(d).localCheckpoint(eager=False)
+    pos = spread_for_pair_join(_span_positions(shingled), "sk")
     pairs = (
         pos.select(F.col("doc_id").alias("id_a"), F.col("p").alias("p_a"), "sk")
         .join(

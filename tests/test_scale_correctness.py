@@ -102,6 +102,12 @@ SCALE_QUERIES = [
     # on every blocked pair (hours at sf1); the Spark side is covered
     # by the contract test below instead.
     "llm_winnow_pairs",
+    # round-8: after two rounds of plan-audit blindness on this exact
+    # query (its df-cap subtree hid behind lineage cuts), the
+    # substring-span dedup earns the 10x oracle, not just sf0.01 —
+    # its shingle-position pair join is the same spread_for_pair_join
+    # shape the winnowing slot proves.
+    "llm_substring_spans",
 ]
 
 TABLES = (

@@ -199,9 +199,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     ],
     "llm_dedup_embedding": [
         # hyperplane-bucketed candidate join — equi on bucket ids,
-        # never an all-pairs scan
+        # never an all-pairs scan; pair fan-out spread past AQE
+        # coalescing by spread_for_pair_join (operators/pairs.py)
         ("bucketed candidate join (not cartesian)", "!CartesianProduct"),
         ("no nested-loop join", "!BroadcastNestedLoopJoin"),
+        ("AQE-exempt pair spread (keyed repartition)", "REPARTITION_BY_NUM"),
     ],
     "llm_domain_mixture": [
         ("per-source tallies partial-aggregated", "partial_count"),
@@ -387,9 +389,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         # fingerprint derivation + df-cap window sit behind the
         # round-6 lineage cuts — audited pre-checkpoint by
         # winnow_fps[pre-checkpoint]; here the pair join must stay an
-        # fp equi-join feeding a partial-agg'd pair count
+        # fp equi-join feeding a partial-agg'd pair count, spread
+        # past AQE coalescing by spread_for_pair_join
         ("no cartesian", "!CartesianProduct"),
         ("pair counts partial-aggregated", "partial_count"),
+        ("AQE-exempt pair spread (keyed repartition)", "REPARTITION_BY_NUM"),
     ],
     "tpch_weighted_sample": [
         # the distributed reservoir: global k-largest-keys must plan
@@ -467,9 +471,11 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     ],
     "llm_substring_spans": [
         # shingle-position join must stay an equi-join on the 60-bit
-        # key, with the boilerplate guard as a two-phase distinct count
+        # key; the df-cap boilerplate guard sits behind the lineage
+        # cuts (Scan ExistingRDD here) and is asserted pre-cut by
+        # substring_spans[pre-checkpoint] below
         ("no cartesian", "!CartesianProduct"),
-        ("df cap via two-phase distinct count", "partial_count(distinct"),
+        ("AQE-exempt pair spread (keyed repartition)", "REPARTITION_BY_NUM"),
         ("span merge via (pair, diagonal) window", "Window"),
     ],
     "llm_token_rarity": [
@@ -952,9 +958,36 @@ def _bpe_merge_round_plan(spark, sf_dir):
     )
 
 
+def _span_positions_plan(spark, sf_dir):
+    """Pre-checkpoint substring-span position table
+    (queries/pipeline.py steps 1-2): positional K-shingling plus the
+    SPAN_DF_CAP boilerplate guard — the subtree the registry query
+    hides behind its lazy localCheckpoints (Scan ExistingRDD), where
+    the two-phase distinct-count df cap must be visible."""
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        _span_positions,
+        _span_shingled,
+    )
+    from map_reduce_for_dbpl_dataset_spark.sources.parquet import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _span_positions(_span_shingled(d))
+
+
 # custom entries: (plan builder, checks) — for plans not reachable as a
 # whole registry query (e.g. subtrees behind a checkpoint boundary)
 CUSTOM_CHECKS: dict = {
+    "substring_spans[pre-checkpoint]": (
+        _span_positions_plan,
+        [
+            # the boilerplate guard: shingle document-frequency capped
+            # via a two-phase distinct count (partial map-side), and
+            # the keep-join stays an equi-join on the 8-byte key
+            ("df cap via two-phase distinct count", "partial_count(distinct"),
+            ("no cartesian", "!CartesianProduct"),
+            ("no nested-loop join", "!BroadcastNestedLoopJoin"),
+        ],
+    ),
     "lsh_sized_buckets[pre-checkpoint]": (
         _lsh_sized_buckets_plan,
         [
