@@ -624,6 +624,161 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("per-cluster top-k limited pre-exchange", "WindowGroupLimit"),
         ("no cartesian", "!CartesianProduct"),
     ],
+    # ---- round-8 coverage extension: the previously-unaudited batch
+    # families (join forms, scan pushdown, lateral/UDTF/python-source
+    # surfaces, the exact-twin jaccard).  Streaming and sink-roundtrip
+    # queries stay out of this harness by design: calling them
+    # executes a streaming job / filesystem write, and the DataFrame
+    # they return is a scan of the already-materialized result — its
+    # plan says nothing about the execution that matters there (the
+    # streaming parity + sink roundtrip tests cover those surfaces).
+    "tpch_pricing_summary": [
+        # TPC-H Q1, the canonical scan->filter->agg: the date filter
+        # must reach the parquet scan and the 8 aggregates must
+        # collapse map-side — at 100 TB this is the difference between
+        # reading a column slice and reading the table
+        ("shipdate filter pushed to the parquet scan", "LessThanOrEqual(l_shipdate"),
+        ("aggregates partial-aggregated before the one exchange", "partial_sum"),
+        ("no join", "!Join"),
+    ],
+    "tpch_join_left_order_counts": [
+        # Q13 shape: the left join must stay a hash/merge equi-join
+        # and both count passes collapse map-side
+        ("per-customer counts partial-aggregated", "partial_count"),
+        ("no nested-loop join", "!BroadcastNestedLoopJoin"),
+    ],
+    "tpch_join_semi": [
+        # the build side dedups INSIDE the semi join (no distinct
+        # subtree), and the status filter reaches the orders scan
+        ("planned as a semi join (build side dedups in-join)", "LeftSemi"),
+        ("open-order filter pushed to the orders scan", "EqualTo(o_orderstatus,O)"),
+    ],
+    "tpch_join_anti": [
+        ("planned as an anti join (no pre-join distinct)", "LeftAnti"),
+        ("no nested-loop join", "!BroadcastNestedLoopJoin"),
+    ],
+    "tpch_join_full_outer": [
+        # both sides collapse to per-nation counts BEFORE the full
+        # outer join — the join moves 25-row sides, not raw tables
+        ("both sides pre-aggregated before the join", "partial_count"),
+        ("full-outer join type preserved", "FullOuter"),
+    ],
+    "tpch_join_nonequi": [
+        # equi key + range residual: the orderkey equality must keep
+        # this a hash join with the date range as a post-join filter
+        ("equi key keeps a hash join (range as residual)", "!BroadcastNestedLoopJoin"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_join_range_bands": [
+        # true non-equi band join: the 3-row band table broadcasts
+        # and the fact side never shuffles — BNLJ over 3 rows is the
+        # RIGHT plan here, the inverse of every !BNLJ check above
+        ("3-row band table broadcast (fact side never shuffles)", "BroadcastNestedLoopJoin"),
+        ("band tallies partial-aggregated", "partial_sum"),
+    ],
+    "tpch_window_running_total": [
+        # running total per customer: the window must key on custkey,
+        # never collapse to one partition
+        ("no single-partition window", "!Exchange SinglePartition"),
+        ("no join", "!Join"),
+    ],
+    "tpch_subquery_not_exists": [
+        ("NOT EXISTS planned as an anti join", "LeftAnti"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_sql_api_top_spenders": [
+        # spark.sql() surface: totals collapse map-side, per-segment
+        # rank limited before its exchange
+        ("spend totals partial-aggregated", "partial_sum"),
+        ("rank limited pre-exchange", "WindowGroupLimit"),
+    ],
+    "tpch_lateral_posexplode": [
+        # lateral unnest compiles to Generate — never a join against
+        # the exploded array
+        ("lateral unnest as Generate", "Generate"),
+        ("no cartesian", "!CartesianProduct"),
+    ],
+    "tpch_udtf_series": [
+        # the Python UDTF runs as a batched Python stage; its output
+        # aggregates collapse map-side
+        # no aggregation here — the lateral itself must not introduce
+        # a join or shuffle (UDTFs run row-partition-wise)
+        ("UDTF as a batched Python stage", "PythonUDTF"),
+        ("lateral introduces no join", "!Join"),
+    ],
+    "tpch_set_ops_nations": [
+        # INTERSECT/EXCEPT compile to semi/anti joins, not
+        # distinct-union scans
+        ("INTERSECT as a semi join", "LeftSemi"),
+        ("EXCEPT as an anti join", "LeftAnti"),
+    ],
+    "tpch_case_tiers": [
+        ("tier tallies partial-aggregated", "partial_sum"),
+        ("no join", "!Join"),
+    ],
+    "tpch_pivot_status": [
+        # pivot collapses map-side (partial pivotfirst), one exchange
+        ("pivot partial-aggregated map-side", "partial_pivotfirst"),
+        ("no join", "!Join"),
+    ],
+    "tpch_union_by_name": [
+        ("one union feeding a partial-agg'd pass", "Union"),
+        ("tallies partial-aggregated", "partial_count"),
+    ],
+    "tpch_map_ops": [
+        ("histogram tallies partial-aggregated", "partial_count"),
+        ("no join", "!Join"),
+    ],
+    "tpch_array_ops": [
+        # collect_set collapses map-side (object-hash partial agg) —
+        # the per-user set never rides the shuffle as raw rows
+        ("per-user event sets collapse map-side", "partial_collect_set"),
+        ("no join", "!Join"),
+    ],
+    "tpch_null_semantics": [
+        # null-safe equality (<=>) is still hash-joinable
+        ("null-safe equality stays a hash join", "!BroadcastNestedLoopJoin"),
+        ("tallies partial-aggregated", "partial_count"),
+    ],
+    "llm_ngram_jaccard": [
+        # the deliberately-quadratic exact twin (oracle proof for the
+        # PPJoin variant): even it must stay a shingle equi-join
+        ("exact twin stays a shingle equi-join", "!CartesianProduct"),
+        ("pair intersections partial-aggregated", "partial_count"),
+    ],
+    "src_python_datasource": [
+        # the Python DataSource V2 surface: reads arrive via BatchScan
+        # (the pruned variant's pushdown is audited separately)
+        ("Python data source reads via DSv2 BatchScan", "BatchScan synthetic_docs"),
+    ],
+    "dblp_xml_ingest": [
+        # distributed XML: line-splittable text scan + JVM from_xml
+        # parse — a narrow pipeline with no Python row loop and no
+        # exchange anywhere (reference parity: dblpXMLparser.scala's
+        # DOM walk, re-expressed as a streaming-splittable scan)
+        ("JVM from_xml parse (no Python row loop)", "from_xml"),
+        ("narrow parse pipeline (no exchange)", "!Exchange"),
+    ],
+    # the scalar-expression trio: the property that matters at scale
+    # is column pruning — the scan must read exactly the referenced
+    # columns, and nothing may join or shuffle beyond the
+    # presentation sort
+    "tpch_scalar_string": [
+        ("scan pruned to the 4 referenced part columns",
+         "ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string>"),
+        ("no join", "!Join"),
+    ],
+    "tpch_scalar_math": [
+        ("scan pruned to the 7 referenced lineitem columns",
+         "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,"
+         "l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double>"),
+        ("no join", "!Join"),
+    ],
+    "tpch_scalar_date": [
+        ("scan pruned to (o_orderkey, o_orderdate)",
+         "ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>"),
+        ("no join", "!Join"),
+    ],
 }
 
 # Hand-written analysis that survives regeneration: emitted verbatim
