@@ -108,6 +108,21 @@ SCALE_QUERIES = [
     # its shingle-position pair join is the same spread_for_pair_join
     # shape the winnowing slot proves.
     "llm_substring_spans",
+    # round-8 net widening: the third spread_for_pair_join caller
+    # (hyperplane-bucketed embedding near-pairs), the three
+    # Python-worker/Arrow surfaces previously proven only at sf0.01
+    # (grouped-map, scalar pandas UDF, mapInArrow — partitioning
+    # changes batch boundaries at 10x, exactly what those paths must
+    # be invariant to), the exact-dedup window, the Expand-based
+    # cube, and the greedy sequence packer (its window state is
+    # per-source — 10x rows per source probes the bound).
+    "llm_dedup_embedding",
+    "llm_zscore_grouped_map",
+    "llm_quality_pandas_udf",
+    "llm_token_count_arrow",
+    "llm_dedup_exact",
+    "tpch_cube_lineitem",
+    "llm_sequence_pack",
 ]
 
 TABLES = (
