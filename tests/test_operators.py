@@ -213,3 +213,36 @@ def test_events_retention_rescan(spark, sf_dir):
     # event itself is activity), so it is the cohort's max cell
     for (cw, off), n in got.items():
         assert n <= got[(cw, 0)]
+
+
+def test_spread_for_pair_join_plan_and_result(spark):
+    """The pair-spread helper must (a) keep the rows identical, (b)
+    emit an explicit keyed repartition that AQE cannot coalesce
+    (REPARTITION_BY_NUM over factor * defaultParallelism partitions),
+    and (c) cut lineage so both self-join sides read the pinned RDD
+    instead of re-deriving the input (Scan ExistingRDD)."""
+    from map_reduce_for_dbpl_dataset_spark.operators.pairs import spread_for_pair_join
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "id bigint, key int"
+    )
+    spread = spread_for_pair_join(df, "key", factor=2)
+    assert sorted((r.id, r.key) for r in spread.collect()) == [
+        (i, i % 7) for i in range(100)
+    ]
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        spread._jdf.queryExecution(), "formatted"
+    )
+    assert "REPARTITION_BY_NUM" in plan
+    assert "Scan ExistingRDD" in plan
+    n = 2 * spark.sparkContext.defaultParallelism
+    assert f"hashpartitioning(key#" in plan and f", {n})" in plan
+    # the self-join on the spread frame stays co-partitioned and pair
+    # counts are exact (sum over keys of n_k * (n_k - 1) / 2)
+    a, b = spread.alias("a"), spread.alias("b")
+    pairs = a.join(
+        b, (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id"))
+    ).count()
+    from collections import Counter
+    sizes = Counter(i % 7 for i in range(100))
+    assert pairs == sum(v * (v - 1) // 2 for v in sizes.values())
