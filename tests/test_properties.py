@@ -149,3 +149,107 @@ def test_ppjoin_exact_threshold_boundary(spark):
     expected = [(1, 2, 0.8), (3, 4, 0.8)]
     assert norm(ngram_jaccard_pairs(df, "doc_id", "shingles", 0.8)) == expected
     assert norm(ngram_jaccard_pairs_prefix(df, "doc_id", "shingles", 0.8)) == expected
+
+
+def _spans_python(docs: dict[int, str], k: int, df_cap: int):
+    """Definition-based reference for q_substring_spans: maximal runs
+    of matching K-token window positions per (pair, diagonal), after
+    dropping windows whose text is shared by more than df_cap docs.
+    Independent of the shingle-join formulation: enumerates position
+    pairs directly from the token arrays."""
+    import re
+    from collections import defaultdict
+
+    toks = {
+        i: re.sub(r"\s+", " ", t.lower()).strip().split(" ") for i, t in docs.items()
+    }
+    sh = {
+        i: [" ".join(ts[p : p + k]) for p in range(len(ts) - k + 1)]
+        if len(ts) >= k
+        else []
+        for i, ts in toks.items()
+    }
+    df = defaultdict(set)
+    for i, ss in sh.items():
+        for s in set(ss):
+            df[s].add(i)
+    keep = {s for s, d in df.items() if len(d) <= df_cap}
+    expected = {}
+    ids = sorted(sh)
+    for xa in range(len(ids)):
+        for xb in range(xa + 1, len(ids)):
+            a, b = ids[xa], ids[xb]
+            by_diag = defaultdict(set)
+            for pa, sa in enumerate(sh[a]):
+                if sa not in keep:
+                    continue
+                for pb, sb in enumerate(sh[b]):
+                    if sb == sa:
+                        by_diag[pa - pb].add(pa)
+            if not by_diag:
+                continue
+            n_spans = n_pos = max_run = 0
+            for ps in by_diag.values():
+                sorted_ps = sorted(ps)
+                run = 1
+                for prev, cur in zip(sorted_ps, sorted_ps[1:] + [None]):
+                    if cur == prev + 1:
+                        run += 1
+                    else:
+                        n_spans += 1
+                        max_run = max(max_run, run)
+                        run = 1
+                n_pos += len(sorted_ps)
+            expected[(a, b)] = (n_spans, max_run + k - 1, n_pos)
+    return expected
+
+
+def test_substring_spans_match_definition(spark, tmp_path):
+    """q_substring_spans (shingle-key join + gaps-and-islands diagonal
+    merge) must equal the definition-based position-pair enumeration on
+    a corpus engineered with shared prefixes, mid-document copies,
+    repeated in-doc blocks (multi-diagonal matches), and a 70-doc
+    boilerplate block that the SPAN_DF_CAP=64 guard must suppress."""
+    import random
+
+    from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
+        SPAN_DF_CAP,
+        SPAN_K,
+        q_substring_spans,
+    )
+
+    rng = random.Random(83)
+    vocab = [f"w{i}" for i in range(300)]
+    boiler = [f"bp{i}" for i in range(SPAN_K)]  # exactly one K-window
+    docs: dict[int, str] = {}
+    for d in range(70):
+        body = [rng.choice(vocab) + f"u{d}_{j}" for j in range(30)]
+        # every doc carries the boilerplate block: its pure window has
+        # df=70 > SPAN_DF_CAP and must create no pairs by itself
+        docs[d] = " ".join(body[:15] + boiler + body[15:])
+    base = [rng.choice(vocab) for _ in range(40)]
+    # shared prefix (span SPAN_K+9), a mid-doc copy at a different
+    # offset (diagonal != 0), and a doc repeating the same block twice
+    # (two diagonals against the single-block doc)
+    block = base[: SPAN_K + 9]
+    docs[100] = " ".join(block + [f"t100_{j}" for j in range(10)])
+    docs[101] = " ".join([f"t101_{j}" for j in range(7)] + block + [f"t101x{j}" for j in range(5)])
+    docs[102] = " ".join(block + [f"t102_{j}" for j in range(4)] + block)
+    expected = _spans_python(docs, SPAN_K, SPAN_DF_CAP)
+    # non-vacuous: the engineered structure must produce pairs, a
+    # multi-span pair, and no boilerplate-only pairs
+    assert expected, "corpus produced no shared spans"
+    assert any(v[0] >= 2 for v in expected.values())
+    assert all(a >= 100 and b >= 100 for a, b in expected)
+
+    import pandas as pd
+
+    sf_dir = str(tmp_path)
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[i] for i in docs]}
+    ).to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    got = {
+        (r.id_a, r.id_b): (r.n_spans, r.max_span_tokens, r.n_matched_positions)
+        for r in q_substring_spans(spark, sf_dir).collect()
+    }
+    assert got == expected
