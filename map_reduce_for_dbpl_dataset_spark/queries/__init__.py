@@ -221,8 +221,10 @@ _LAST_CHECKED: dict[str, int] = {
 # oracles in-round, but the policy is that a source change voids the
 # old green row, so they re-certify first.  Window budget: 3 changed
 # + the 10 round-4 rows lead the round-8 window, then 37 of the 39
-# round-5 rows; with 149 registry entries the staleness bound is
-# ceil(149/50) = 3 rounds.
+# round-5 rows; the 2 displaced round-5 rows (tpch_events_retention,
+# tpch_market_share — both independently hash-checked at the sf1
+# scale point every pytest run) slip to round 9, within the
+# ceil(149/50) = 3-round staleness bound.
 _CHANGED: list[str] = [
     "llm_dedup_embedding",  # embedding_near_pairs -> spread_for_pair_join
     "llm_substring_spans",  # _span_positions factored + spread_for_pair_join
