@@ -253,3 +253,88 @@ def test_substring_spans_match_definition(spark, tmp_path):
         for r in q_substring_spans(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_winnow_pairs_match_python_replay(spark, tmp_path):
+    """q_winnow_pairs must equal a pure-Python replay of the MOSS
+    pipeline (hash60 -> per-doc sliding-window min fingerprints ->
+    df-cap -> pairwise shared-fingerprint count), and the winnowing
+    COVERAGE GUARANTEE must hold: a planted shared run of R shingles
+    >= W yields at least one common fingerprint, and the long planted
+    blocks here yield enough distinct shared mins to clear the
+    WINNOW_MIN_SHARED output threshold."""
+    import hashlib
+    import random
+    import re
+    from collections import defaultdict
+
+    from map_reduce_for_dbpl_dataset_spark.queries.llm import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        WINNOW_MUTANTS,
+        WINNOW_W,
+        q_winnow_pairs,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rng = random.Random(19)
+    docs: dict[int, str] = {}
+    base_id = WINNOW_MUTANTS  # ids below WINNOW_MUTANTS get mutants injected
+    for d in range(40):
+        docs[base_id + d] = " ".join(
+            rng.choice([f"v{j}" for j in range(500)]) + f"_{d}_{i}"
+            for i in range(rng.randint(20, 60))
+        )
+    # plant three long shared blocks (60 tokens ~ 58 shingles >> W):
+    # pair (100, 101) shares one block, (102, 103) shares two disjoint
+    # blocks, (104, 105) shares a block at different offsets
+    blocks = [
+        [f"b{k}_{i}" for i in range(60)] for k in range(4)
+    ]
+    docs[100] = " ".join(blocks[0] + [f"x100_{i}" for i in range(15)])
+    docs[101] = " ".join([f"x101_{i}" for i in range(9)] + blocks[0])
+    docs[102] = " ".join(blocks[1] + [f"x102_{i}" for i in range(12)] + blocks[2])
+    docs[103] = " ".join(blocks[2] + [f"x103_{i}" for i in range(7)] + blocks[1])
+    docs[104] = " ".join([f"x104_{i}" for i in range(20)] + blocks[3])
+    docs[105] = " ".join(blocks[3] + [f"x105_{i}" for i in range(3)])
+
+    # pure-Python replay of the exact pipeline
+    fps: dict[int, set] = {}
+    for i, text in docs.items():
+        toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        sh = [" ".join(toks[p : p + 3]) for p in range(len(toks) - 2)]
+        hs = [h60(s) for s in sh]
+        if len(hs) < WINNOW_W:
+            continue
+        fps[i] = {
+            min(hs[p : p + WINNOW_W]) for p in range(len(hs) - WINNOW_W + 1)
+        }
+    df = defaultdict(int)
+    for i, s in fps.items():
+        for f in s:
+            df[f] += 1
+    kept = {i: {f for f in s if df[f] <= WINNOW_MAX_DF} for i, s in fps.items()}
+    ids = sorted(kept)
+    expected = {}
+    for xa in range(len(ids)):
+        for xb in range(xa + 1, len(ids)):
+            a, b = ids[xa], ids[xb]
+            n = len(kept[a] & kept[b])
+            if n >= WINNOW_MIN_SHARED:
+                expected[(a, b)] = n
+    # guarantee is non-vacuous: all three planted pairs must clear the
+    # threshold in the reference, and no random-only pair should
+    assert set(expected) == {(100, 101), (102, 103), (104, 105)}
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": list(docs), "text": [docs[i] for i in docs]}
+    ).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in q_winnow_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
