@@ -338,3 +338,64 @@ def test_winnow_pairs_match_python_replay(spark, tmp_path):
         for r in q_winnow_pairs(spark, str(tmp_path)).collect()
     }
     assert got == expected
+
+
+def test_simhash_chunk_join_equals_all_pairs_hamming(spark):
+    """The chunked candidate join (pigeonhole: hamming <= CHUNKS - 1
+    implies one equal 8-bit chunk) must return EXACTLY the pairs a
+    definition-based all-pairs scan finds: signatures replayed in
+    Python from hash60 bit votes, hamming computed directly, no
+    chunking anywhere in the reference."""
+    import hashlib
+    import random
+    from itertools import combinations
+
+    from map_reduce_for_dbpl_dataset_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_near_pairs,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sim_py(shingles: list[str]) -> int:
+        hs = [h60(s) for s in set(shingles)]
+        if not hs:
+            return 0
+        out = 0
+        for i in range(SIMHASH_BITS):
+            votes = sum(1 if (h >> i) & 1 else -1 for h in hs)
+            if votes >= 0:
+                out |= 1 << i
+        return out
+
+    rng = random.Random(29)
+    vocab = [f"sh{j}" for j in range(400)]
+    rows = []
+    for d in range(30):
+        rows.append((d, [rng.choice(vocab) + f"_{rng.randint(0, 50)}" for _ in range(25)]))
+    # near-dup family: perturb one base set by 1..3 shingles so several
+    # pairs land at small-but-nonzero hamming
+    base = [f"nd_{j}" for j in range(30)]
+    for k, d in enumerate(range(100, 106)):
+        mutated = base[: len(base) - k] + [f"mut_{k}_{j}" for j in range(k)]
+        rows.append((d, mutated))
+    rows.append((200, []))  # empty doc: simhash 0 by the -1-vote rule
+
+    expected = set()
+    sims = {d: sim_py(sh) for d, sh in rows}
+    for (a, sa), (b, sb) in combinations(sorted(sims.items()), 2):
+        ham = bin(sa ^ sb).count("1")
+        if ham <= 3:
+            expected.add((a, b, ham))
+    # non-vacuous: the mutation ladder must produce hits at more than
+    # one hamming distance, and not every pair
+    assert expected and len({h for _, _, h in expected}) >= 2
+    assert len(expected) < len(sims) * (len(sims) - 1) // 2
+
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(df, "doc_id", "shingles").collect()
+    }
+    assert got == expected
