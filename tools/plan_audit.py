@@ -1211,22 +1211,61 @@ CUSTOM_CHECKS: dict = {
 }
 
 
+# Global scale-killer sweep: three universal rules applied to EVERY
+# batch registry query, audited-or-not — a per-query needle list can
+# miss a regression in a query nobody wrote an entry for.  Excluded
+# families (documented, not loopholes): stream_* and tpch_sink_*
+# queries EXECUTE a streaming job / filesystem write when called and
+# return a scan of the materialized result, so their explained plan
+# says nothing about the execution that matters (parity + roundtrip
+# tests own those surfaces).
+SWEEP_EXCLUDED_PREFIXES = ("stream_", "tpch_sink_")
+
+
+def _sweep_violations(plan: str) -> list[str]:
+    """Universal 100-TB rules for a batch plan:
+    - no CartesianProduct, anywhere, ever;
+    - no single-partition exchange (a global sort for presentation
+      uses rangepartitioning; TakeOrderedAndProject needs no
+      exchange — SinglePartition means some stage collapsed);
+    - no row-at-a-time Python (every BatchEvalPython node must be the
+      UDTF form; scalar/map Python goes through Arrow)."""
+    out = []
+    if "CartesianProduct" in plan:
+        out.append("CartesianProduct")
+    if "Exchange SinglePartition" in plan:
+        out.append("single-partition exchange")
+    if plan.count("BatchEvalPython") != plan.count("BatchEvalPythonUDTF"):
+        out.append("row-at-a-time Python UDF")
+    return out
+
+
 def audit(sf_dir: str, write: bool) -> int:
     import __spark_entry__ as entrymod
     from map_reduce_for_dbpl_dataset_spark.session import get_spark
 
     spark = get_spark("plan-audit")
     qs = entrymod.queries()
-    all_checks = {name: (qs[name], checks) for name, checks in CHECKS.items() if name in qs}
-    all_checks.update(CUSTOM_CHECKS)
+
+    def explain(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
     failures: list[str] = []
     sections: list[str] = []
     rows: list[str] = []
+    # one plan render per registry query in the sweep; per-query CHECKS
+    # reuse the rendered text
+    plans: dict[str, str] = {}
+    for name, fn in qs.items():
+        if name.startswith(SWEEP_EXCLUDED_PREFIXES):
+            continue
+        plans[name] = explain(fn(spark, sf_dir))
+    all_checks: dict = {name: (None, checks) for name, checks in CHECKS.items() if name in plans}
+    all_checks.update(CUSTOM_CHECKS)
     for name, (builder, checks) in all_checks.items():
-        df = builder(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = plans[name] if builder is None else explain(builder(spark, sf_dir))
         for prop, needle in checks:
             if needle.startswith("!"):
                 ok = needle[1:] not in plan
@@ -1237,6 +1276,19 @@ def audit(sf_dir: str, write: bool) -> int:
                 failures.append(f"{name}: {prop} (expected {needle!r})")
         note = f"{NOTES[name]}\n\n" if name in NOTES else ""
         sections.append(f"## {name}\n\n{note}```\n{plan.strip()}\n```\n")
+    sweep_clean = 0
+    for name in sorted(plans):
+        bad = _sweep_violations(plans[name])
+        if bad:
+            rows.append(f"| `{name}` | global scale-killer sweep | ❌ |")
+            failures.append(f"{name}: global sweep ({', '.join(bad)})")
+        else:
+            sweep_clean += 1
+    rows.append(
+        f"| _global sweep_ | no cartesian / single-partition exchange / "
+        f"row-Python in any of {len(plans)} batch queries "
+        f"({sweep_clean} clean) | {'✅' if sweep_clean == len(plans) else '❌'} |"
+    )
     spark.stop()
 
     if write:
