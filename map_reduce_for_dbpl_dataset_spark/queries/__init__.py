@@ -52,63 +52,16 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 4 (10 rows — stalest; these are 4 rounds stale, one
-    # round past the ceil(149/50)=3 bound, because rounds 5-7 spent
-    # window slots on new queries and _CHANGED recertifications; they
-    # lead the round-8 window and the round-7 verdict re-verified all
-    # 10 against their oracles out-of-band (10/10 PASS), so none is
-    # stale-and-wrong) ---
-    "tpch_scalar_math": 4,
-    "tpch_scalar_string": 4,
-    "tpch_scan_filter_project": 4,
-    "tpch_set_ops_nations": 4,
-    "tpch_stats_agg": 4,
-    "tpch_subquery_correlated": 4,
-    "tpch_subquery_in": 4,
-    "tpch_top3_orders_per_cust": 4,
-    "tpch_window_lag_gap": 4,
-    "tpch_window_running_total": 4,
-    # --- round 5 (39 rows) ---
-    "llm_ann_brute_topk": 5,
-    "llm_ann_ivf": 5,
-    "llm_ann_ivf_trained": 5,
-    "llm_ann_lsh_topk": 5,
-    "llm_ann_pq_trained": 5,
-    "llm_cluster_top_terms": 5,
-    "llm_decontaminate": 5,
-    "llm_decontaminate_semantic": 5,
-    "llm_dedup_clusters": 5,
-    "llm_dedup_exact": 5,
-    "llm_dedup_simhash": 5,
-    "llm_domain_mixture": 5,
-    "llm_fingerprint_rolling": 5,
-    "llm_inverted_index": 5,
-    "llm_kmeans": 5,
-    "llm_langid": 5,
-    "llm_leakage_free_split": 5,
-    "llm_multimodal_features": 5,
-    "llm_multimodal_frames": 5,
-    "llm_multimodal_resize": 5,
-    "llm_ngram_jaccard": 5,
-    "llm_ngram_jaccard_prefix": 5,
-    "llm_pii_scrub": 5,
-    "llm_quality_pandas_udf": 5,
-    "llm_quality_select_approx": 5,
-    "llm_sequence_pack": 5,
-    "llm_text_stats": 5,
-    "llm_tfidf_top_terms": 5,
-    "llm_token_count_arrow": 5,
-    "llm_zscore_grouped_map": 5,
-    "stream_checkpoint_recovery": 5,
-    "stream_late_drop_parity": 5,
+    # --- round 5 (2 rows — stalest, at the 3-round staleness bound;
+    # displaced from the round-8 window by the 3 _CHANGED
+    # re-certifications, both independently hash-checked at the sf1
+    # scale point every pytest run and re-oracled green by the round-8
+    # judge; they lead the round-9 window) ---
     "tpch_events_retention": 5,
     "tpch_market_share": 5,
-    "tpch_sink_csv_roundtrip": 5,
-    "tpch_sink_json_roundtrip": 5,
-    "tpch_sink_orc_roundtrip": 5,
-    "tpch_sink_partitioned_parquet": 5,
-    "tpch_sink_text_ordered": 5,
-    # --- round 6 (50 rows) ---
+    # --- round 6 (49 rows; 48 fill the rest of the round-9 window,
+    # the last by surface-risk/name order — tpch_percentiles — slips
+    # to round 10, within the 3-round bound) ---
     "dblp_coauthor_components_star": 6,
     "dblp_coauthor_triangles": 6,
     "dblp_pagerank": 6,
@@ -135,7 +88,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_semdedup_trained_k32": 6,
     "llm_token_count": 6,
     "llm_trimmed_mean_grouped_agg": 6,
-    "llm_winnow_pairs": 6,
     "stream_dedup_parity": 6,
     "stream_session_parity": 6,
     "stream_sliding_parity": 6,
@@ -159,7 +111,7 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_merge_upsert": 6,
     "tpch_percentiles": 6,
     "tpch_window_ntile": 6,
-    # --- round 7 (50 rows, freshest) ---
+    # --- round 7 (48 rows) ---
     "dblp_coauthor_components": 7,
     "dblp_coauthor_pairs": 7,
     "dblp_q1_top_authors_per_venue": 7,
@@ -169,9 +121,7 @@ _LAST_CHECKED: dict[str, int] = {
     "dblp_q4_max_authors_per_venue": 7,
     "llm_chunk_overlap": 7,
     "llm_corpus_shuffle": 7,
-    "llm_dedup_embedding": 7,
     "llm_mixture_sample": 7,
-    "llm_substring_spans": 7,
     "llm_token_rarity": 7,
     "src_python_datasource": 7,
     "src_python_datasource_pruned": 7,
@@ -210,26 +160,67 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_weighted_sample": 7,
     "tpch_window_range_frame": 7,
     "tpch_zorder_range_scan": 7,
+    # --- round 8 (50 rows, freshest) ---
+    "llm_ann_brute_topk": 8,
+    "llm_ann_ivf": 8,
+    "llm_ann_ivf_trained": 8,
+    "llm_ann_lsh_topk": 8,
+    "llm_ann_pq_trained": 8,
+    "llm_cluster_top_terms": 8,
+    "llm_decontaminate": 8,
+    "llm_decontaminate_semantic": 8,
+    "llm_dedup_clusters": 8,
+    "llm_dedup_embedding": 8,
+    "llm_dedup_exact": 8,
+    "llm_dedup_simhash": 8,
+    "llm_domain_mixture": 8,
+    "llm_fingerprint_rolling": 8,
+    "llm_inverted_index": 8,
+    "llm_kmeans": 8,
+    "llm_langid": 8,
+    "llm_leakage_free_split": 8,
+    "llm_multimodal_features": 8,
+    "llm_multimodal_frames": 8,
+    "llm_multimodal_resize": 8,
+    "llm_ngram_jaccard": 8,
+    "llm_ngram_jaccard_prefix": 8,
+    "llm_pii_scrub": 8,
+    "llm_quality_pandas_udf": 8,
+    "llm_quality_select_approx": 8,
+    "llm_sequence_pack": 8,
+    "llm_substring_spans": 8,
+    "llm_text_stats": 8,
+    "llm_tfidf_top_terms": 8,
+    "llm_token_count_arrow": 8,
+    "llm_winnow_pairs": 8,
+    "llm_zscore_grouped_map": 8,
+    "stream_checkpoint_recovery": 8,
+    "stream_late_drop_parity": 8,
+    "tpch_scalar_math": 8,
+    "tpch_scalar_string": 8,
+    "tpch_scan_filter_project": 8,
+    "tpch_set_ops_nations": 8,
+    "tpch_sink_csv_roundtrip": 8,
+    "tpch_sink_json_roundtrip": 8,
+    "tpch_sink_orc_roundtrip": 8,
+    "tpch_sink_partitioned_parquet": 8,
+    "tpch_sink_text_ordered": 8,
+    "tpch_stats_agg": 8,
+    "tpch_subquery_correlated": 8,
+    "tpch_subquery_in": 8,
+    "tpch_top3_orders_per_cust": 8,
+    "tpch_window_lag_gap": 8,
+    "tpch_window_running_total": 8,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-8 entries: the three callers of the
-# extracted spread_for_pair_join helper (operators/pairs.py — the
-# round-7 verdict's item 4 consolidation of the hand-rolled
-# checkpoint+keyed-repartition pair-spread sites).  The refactor is
-# plan-preserving by construction and re-verified against the DuckDB
-# oracles in-round, but the policy is that a source change voids the
-# old green row, so they re-certify first.  Window budget: 3 changed
-# + the 10 round-4 rows lead the round-8 window, then 37 of the 39
-# round-5 rows; the 2 displaced round-5 rows (tpch_events_retention,
-# tpch_market_share — both independently hash-checked at the sf1
-# scale point every pytest run) slip to round 9, within the
-# ceil(149/50) = 3-round staleness bound.
-_CHANGED: list[str] = [
-    "llm_dedup_embedding",  # embedding_near_pairs -> spread_for_pair_join
-    "llm_substring_spans",  # _span_positions factored + spread_for_pair_join
-    "llm_winnow_pairs",  # fingerprint spread -> spread_for_pair_join
-]
+# green driver row.  Round-9 policy (standing judge directive, round-8
+# verdict item 2): NO new registry queries this round, and an empty
+# _CHANGED unless a certified query's implementation or oracle is
+# edited — with both, the round-9 window is exactly the 2 round-5 rows
+# plus 48 of the 49 round-6 rows, bringing the whole 149-row registry
+# inside a strict 2-round staleness bound by round 10.
+_CHANGED: list[str] = []
 
 
 def _surface_risk(n: str) -> int:
