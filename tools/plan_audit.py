@@ -341,7 +341,6 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "tpch_salted_agg": [
         ("partial agg in both phases", "partial_sum"),
     ],
-    "tpch_sink_partitioned_parquet": [],  # roundtrip; plan built at write time
     "llm_ann_ivf": [
         ("centroid assignment broadcast", "BroadcastHashJoin"),
         ("no cartesian", "!CartesianProduct"),
@@ -1262,7 +1261,16 @@ def audit(sf_dir: str, write: bool) -> int:
         if name.startswith(SWEEP_EXCLUDED_PREFIXES):
             continue
         plans[name] = explain(fn(spark, sf_dir))
-    all_checks: dict = {name: (None, checks) for name, checks in CHECKS.items() if name in plans}
+    # Every CHECKS key must correspond to a planned query: a key that is
+    # sweep-excluded or misspelled would otherwise be silently dropped
+    # and its audit skipped with no failure (round-8 ADVICE).
+    orphans = set(CHECKS) - set(plans)
+    if orphans:
+        raise SystemExit(
+            f"plan_audit: CHECKS entries with no planned query: {sorted(orphans)} "
+            "(sweep-excluded prefix or typo — fix or remove the entry)"
+        )
+    all_checks: dict = {name: (None, checks) for name, checks in CHECKS.items()}
     all_checks.update(CUSTOM_CHECKS)
     for name, (builder, checks) in all_checks.items():
         plan = plans[name] if builder is None else explain(builder(spark, sf_dir))
