@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime
+import re
 
 from pyspark.sql import functions as F
 
@@ -236,7 +237,10 @@ def test_spread_for_pair_join_plan_and_result(spark):
     assert "REPARTITION_BY_NUM" in plan
     assert "Scan ExistingRDD" in plan
     n = 2 * spark.sparkContext.defaultParallelism
-    assert f"hashpartitioning(key#" in plan and f", {n})" in plan
+    # one regex binds the key and the partition count in a single match
+    # (round-8 ADVICE: two independent substring checks could pass with
+    # the wrong repartition width)
+    assert re.search(rf"hashpartitioning\(key#\d+[^)]*, {n}\)", plan), plan
     # the self-join on the spread frame stays co-partitioned and pair
     # counts are exact (sum over keys of n_k * (n_k - 1) / 2)
     a, b = spread.alias("a"), spread.alias("b")

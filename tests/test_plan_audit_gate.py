@@ -14,6 +14,7 @@ catch, so the audit's exit code is asserted here, CI-style.
 
 from __future__ import annotations
 
+import hashlib
 import subprocess
 import sys
 from pathlib import Path
@@ -21,7 +22,37 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 
-def test_plan_audit_exits_green_and_report_is_current():
+def _audit_source_digest() -> str:
+    """Digest of every file that can change the audit's outcome: the
+    whole query/operator package, the auditor itself, the entry module,
+    and the committed report.  (The planned-against sf0.01 testdata is
+    immutable, so it is not part of the key.)"""
+    h = hashlib.sha256()
+    paths = sorted(
+        [
+            *(REPO / "map_reduce_for_dbpl_dataset_spark").rglob("*.py"),
+            REPO / "tools" / "plan_audit.py",
+            REPO / "__spark_entry__.py",
+            REPO / "PLANS.md",
+        ]
+    )
+    for p in paths:
+        h.update(str(p.relative_to(REPO)).encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def test_plan_audit_exits_green_and_report_is_current(request):
+    # The subprocess plans all 134 batch queries (~5 min); round-8
+    # ADVICE flagged that cost on every interactive pytest run.  Cache
+    # the green result keyed on a digest of the audit-relevant source:
+    # any edit to the package, the auditor, the entry module, or
+    # PLANS.md changes the key and forces a fresh run, so the gate
+    # stays always-on while unchanged-source re-runs are instant.
+    digest = _audit_source_digest()
+    cache_key = "plan_audit_gate/green_digest"
+    if request.config.cache.get(cache_key, None) == digest:
+        return
     proc = subprocess.run(
         [sys.executable, "tools/plan_audit.py"],
         cwd=REPO,
@@ -45,3 +76,4 @@ def test_plan_audit_exits_green_and_report_is_current():
     assert fresh_rows == committed_rows, (
         "PLANS.md is stale: regenerate with `python tools/plan_audit.py --write`"
     )
+    request.config.cache.set(cache_key, digest)
