@@ -83,6 +83,12 @@ HEADLINE = [
     # k32's hand-picked operating point stays above for
     # round-over-round comparability — this slot times the rule)
     "llm_semdedup_scaled",
+    # round-9 additions (round-8 verdict #6): the two pair-stage
+    # champions whose spread_for_pair_join histories (519 s -> 31 s and
+    # 86 s -> 11 s at sf1) this project cites — without a tracked slot a
+    # future spread regression would surface only as a pytest timeout
+    "llm_winnow_pairs",
+    "llm_substring_spans",
 ]
 
 
