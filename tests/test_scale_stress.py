@@ -366,3 +366,138 @@ def test_substring_spans_df_cap_kills_boilerplate(spark, tmp_path_factory):
     )
     assert n > SPAN_DF_CAP  # the cap must actually bind
     assert q_substring_spans(spark, str(out_dir)).count() == 0
+
+
+# --- Zipf(s~1.5) spectrum probe at ~100x driver-gate scale (round-8
+#     verdict #8): the salted agg / salted join / per-group top-k
+#     paths, against a full power-law key spectrum rather than the
+#     single-celebrity shape above ---------------------------------
+
+ZIPF_N = 2_000_000  # ~100x the sf0.01 driver-gate fact sizes
+ZIPF_K = 10_000
+
+
+def _zipf_fact(spark):
+    """Deterministic Zipf(s=1.5) fact table in one JVM-side closed
+    form: row i of N gets key floor((N/(N-i))^2) capped at ZIPF_K, so
+    P(key <= k) = 1 - 1/sqrt(k+1) and the share of key k is
+    1/sqrt(k) - 1/sqrt(k+1), i.e. ~ 0.5 * k^-1.5 — key 1 alone holds
+    ~29% of all rows and the head decays exactly like the Zipfian
+    venue/author keys SURVEY.md flags as the 100 TB hazard.  No
+    driver-side data, no randomness: reruns are bit-identical."""
+    return spark.range(ZIPF_N).select(
+        F.col("id"),
+        F.least(
+            F.floor(F.pow(F.lit(float(ZIPF_N)) / (ZIPF_N - F.col("id")), 2)),
+            F.lit(ZIPF_K),
+        ).cast("long").alias("k"),
+        (F.col("id") * 2654435761 % 1_000_003).alias("payload"),
+    )
+
+
+@pytest.mark.slow
+def test_zipf_spectrum_head_shape(spark):
+    """The probe is only as good as its skew: pin the head shares the
+    closed form promises (key 1 ~29.3%, keys 1-3 ~50%) so a generator
+    edit can't silently flatten the distribution the other three
+    tests rely on."""
+    head = dict(
+        _zipf_fact(spark).filter(F.col("k") <= 3).groupBy("k").count().collect()
+    )
+    assert abs(head[1] / ZIPF_N - (1 - 2 ** -0.5)) < 0.001
+    assert abs(sum(head.values()) / ZIPF_N - (1 - 0.5)) < 0.001
+
+
+@pytest.mark.slow
+def test_zipf_spectrum_salted_agg(spark):
+    """salted_sum_count over the full Zipf spectrum must be
+    bit-identical to the plain aggregate — every key, not just the
+    celebrity: the two-phase merge has to re-assemble 16 partials for
+    the hot head AND pass the long tail through unharmed."""
+    from map_reduce_for_dbpl_dataset_spark.operators.skew import salted_sum_count
+
+    df = _zipf_fact(spark)
+    got = {
+        r["k"]: (r["s"], r["n_rows"])
+        for r in salted_sum_count(
+            df, keys=["k"], sums={"s": F.col("payload")},
+            salt=F.col("id"), n_salts=16,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["s"], r["n_rows"])
+        for r in df.groupBy("k")
+        .agg(F.sum("payload").alias("s"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.mark.slow
+def test_zipf_spectrum_salted_join(spark):
+    """salted_join of the Zipf fact against a ZIPF_K-row dimension:
+    row-identical to the plain equi-join (count + value checksum) with
+    every fact row matched exactly once, while the hot key's rows
+    spread over all 16 salt buckets."""
+    from map_reduce_for_dbpl_dataset_spark.operators.skew import salted_join
+
+    n_salts = 16
+    big = _zipf_fact(spark)
+    small = spark.range(1, ZIPF_K + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 13 % 97).alias("dim_val")
+    )
+    salted = salted_join(big, small, "k", salt=F.col("id"), n_salts=n_salts)
+    plain = big.join(small, "k")
+
+    def checksum(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.pmod(F.xxhash64("k", "id", "payload", "dim_val"), F.lit(10**9 + 7))
+            ).alias("h"),
+        ).collect()[0]
+
+    cs, cp = checksum(salted), checksum(plain)
+    assert cs["n"] == cp["n"] == ZIPF_N
+    assert cs["h"] == cp["h"]
+    spread = [
+        r["count"]
+        for r in big.filter(F.col("k") == 1)
+        .groupBy((F.col("id") % n_salts).alias("salt"))
+        .count()
+        .collect()
+    ]
+    assert len(spread) == n_salts
+    assert max(spread) <= 2 * min(spread)
+
+
+@pytest.mark.slow
+def test_zipf_spectrum_top_k_per_group(spark):
+    """Per-group top-k over the Zipf keys: the ~586k-row hot group and
+    two tail probes must each agree with an independent plan shape
+    (filter + TakeOrderedAndProject global top-k), and WindowGroupLimit
+    must appear — the pre-exchange k-limit is what keeps the hot
+    group's shuffle bounded at 100 TB."""
+    from map_reduce_for_dbpl_dataset_spark.operators.topk import (
+        top_k_global,
+        top_k_per_group,
+    )
+
+    df = _zipf_fact(spark)
+    order = [F.desc("payload"), F.asc("id")]
+    topk = top_k_per_group(df, ["k"], order, k=10)
+    plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        topk._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowGroupLimit" in plan
+    got = {}
+    for r in topk.filter(F.col("k").isin(1, 50, ZIPF_K)).collect():
+        got.setdefault(r["k"], []).append((r["payload"], r["id"]))
+    for probe in (1, 50, ZIPF_K):
+        want = [
+            (r["payload"], r["id"])
+            for r in top_k_global(
+                df.filter(F.col("k") == probe), order, 10
+            ).collect()
+        ]
+        assert sorted(got[probe], key=lambda t: (-t[0], t[1])) == want, probe
