@@ -31,9 +31,16 @@ MEASURED NOISE FLOOR (rounds 6 -> 7 ran byte-identical execution
 code, making BENCH_r06 vs BENCH_r07 a controlled environment-noise
 experiment): headline totals move +/-4-5% and individual sub-second
 slots up to +/-20-25% between runs with zero plan change, even after
-calibration normalization.  A round-over-round delta inside that band
-is noise — do not chase it; calibration_sec / value_per_calibration
-separate machine drift from plan drift for anything larger.
+calibration normalization.  Three rounds of plan-identical
+comparisons since widened that: the normalized 19-slot total ran
+37.8 (r7) -> 31.3 (r8) -> 34.8 (r9) with no execution-code change,
+so value_per_calibration itself carries ~+/-10% environment noise
+the calibration slot does not capture (page-cache / co-tenancy
+effects scale differently for the synthetic shuffle than for
+parquet-scan-heavy queries).  A round-over-round delta inside
++/-10% normalized is noise — do not chase it in either direction;
+calibration_sec / value_per_calibration still separate gross
+machine drift from plan drift for anything larger.
 """
 
 from __future__ import annotations
