@@ -341,6 +341,42 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
     "tpch_salted_agg": [
         ("partial agg in both phases", "partial_sum"),
     ],
+    # round-9: per-query needles for the last 7 batch queries that had
+    # only the global sweep (the iterative families' per-round shapes
+    # are separately pinned by the *[pre-checkpoint] CUSTOM_CHECKS
+    # builders; these pin their FINAL-assembly plans).
+    "dblp_q5_literal_all": [
+        ("map-side combine", "partial_"),
+        # the reference's dead-code Q5 limit never fires
+        # (Homework2.scala:412-431): this variant must EMIT ALL rows,
+        # so a top-k operator appearing is a semantics regression
+        ("literal emit-all: no top-k limit", "!TakeOrderedAndProject"),
+    ],
+    "dblp_q2_literal_dupreset": [
+        ("map-side combine", "partial_"),
+    ],
+    "llm_bpe_segment": [
+        ("apply is a narrow map off the checkpointed vocab apply", "Scan ExistingRDD"),
+        # merge rules ride a broadcast variable inside the expression:
+        # a join appearing means the corpus started shuffling to encode
+        ("no join in the segment apply", "!Join"),
+    ],
+    "llm_bpe_train": [
+        ("rules assembled from the checkpointed merge rounds", "Union"),
+        ("no corpus re-scan in the final assembly", "!Scan parquet"),
+    ],
+    "llm_dedup_clusters": [
+        ("fixpoint result pinned (checkpointed labels)", "Scan ExistingRDD"),
+        ("post-fixpoint assembly is narrow (no re-keying exchange)", "!Exchange"),
+    ],
+    "dblp_coauthor_components": [
+        ("fixpoint result pinned (checkpointed labels)", "Scan ExistingRDD"),
+        ("post-fixpoint assembly is narrow (no re-keying exchange)", "!Exchange"),
+    ],
+    "dblp_coauthor_components_star": [
+        ("final labeling join is an equi join", "SortMergeJoin"),
+        ("star rounds feed from checkpoints", "Scan ExistingRDD"),
+    ],
     "llm_ann_ivf": [
         ("centroid assignment broadcast", "BroadcastHashJoin"),
         ("no cartesian", "!CartesianProduct"),
