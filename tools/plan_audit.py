@@ -1246,6 +1246,127 @@ CUSTOM_CHECKS: dict = {
 }
 
 
+# --- streaming pre-start plans (round-9) -------------------------------------
+# The stream_* registry entries are sweep-excluded because the driver-
+# facing callables RUN the stream to completion and return the final
+# table (a plain in-memory batch frame — auditing that plan would
+# prove nothing).  The unstarted streaming DataFrames, though, expose
+# the plans that decide 100 TB/day behavior: an EventTimeWatermark
+# node is the state-eviction contract (without it, window/join state
+# grows without bound), StateStoreSave/partial_ prove the stateful agg
+# still map-side combines, and the stream-stream join must be the
+# symmetric hash form, never a cartesian.  stream_dedup is audited for
+# its operator only: carrying exact ids unwatermarked is that query's
+# documented at-least-once demo semantics (streaming/windows.py), with
+# dropDuplicatesWithinWatermark named there as the bounded-state path.
+
+
+def _stream_tumbling_plan(spark, sf_dir):
+    from map_reduce_for_dbpl_dataset_spark.streaming.windows import (
+        stream_events,
+        stream_tumbling_counts,
+    )
+
+    return stream_tumbling_counts(stream_events(spark, sf_dir))
+
+
+def _stream_sliding_plan(spark, sf_dir):
+    from map_reduce_for_dbpl_dataset_spark.streaming.windows import (
+        stream_events,
+        stream_sliding_counts,
+    )
+
+    return stream_sliding_counts(stream_events(spark, sf_dir))
+
+
+def _stream_session_plan(spark, sf_dir):
+    from map_reduce_for_dbpl_dataset_spark.streaming.windows import (
+        stream_events,
+        stream_session_stats,
+    )
+
+    return stream_session_stats(stream_events(spark, sf_dir))
+
+
+def _stream_dedup_plan(spark, sf_dir):
+    from map_reduce_for_dbpl_dataset_spark.streaming.windows import (
+        stream_dedup,
+        stream_events_duplicated,
+    )
+
+    return stream_dedup(stream_events_duplicated(spark, sf_dir))
+
+
+def _stream_join_plan(spark, sf_dir):
+    from map_reduce_for_dbpl_dataset_spark.streaming.windows import (
+        stream_click_purchase_join,
+        stream_events,
+    )
+
+    return stream_click_purchase_join(
+        stream_events(spark, sf_dir), stream_events(spark, sf_dir)
+    )
+
+
+def _stream_stateful_plan(spark, sf_dir):
+    from map_reduce_for_dbpl_dataset_spark.streaming.stateful import (
+        stateful_user_stats,
+    )
+    from map_reduce_for_dbpl_dataset_spark.streaming.windows import stream_events
+
+    return stateful_user_stats(stream_events(spark, sf_dir))
+
+
+STREAM_CHECKS: dict = {
+    "stream_tumbling[pre-start]": (
+        _stream_tumbling_plan,
+        [
+            ("event-time watermark bounds window state", "EventTimeWatermark"),
+            ("stateful windowed agg", "StateStoreSave"),
+            ("map-side combine before the state store", "partial_"),
+        ],
+    ),
+    "stream_sliding[pre-start]": (
+        _stream_sliding_plan,
+        [
+            ("event-time watermark bounds window state", "EventTimeWatermark"),
+            ("stateful windowed agg", "StateStoreSave"),
+            ("map-side combine before the state store", "partial_"),
+        ],
+    ),
+    "stream_session[pre-start]": (
+        _stream_session_plan,
+        [
+            ("event-time watermark bounds session state", "EventTimeWatermark"),
+            ("session-window state store", "SessionWindowStateStore"),
+            ("adjacent sessions merged in-state", "MergingSessions"),
+        ],
+    ),
+    "stream_dedup[pre-start]": (
+        _stream_dedup_plan,
+        [
+            ("cross-batch streaming dedup operator", "StreamingDeduplicate"),
+        ],
+    ),
+    "stream_join[pre-start]": (
+        _stream_join_plan,
+        [
+            ("both sides watermarked", "EventTimeWatermark"),
+            ("symmetric hash stream-stream join", "StreamingSymmetricHashJoin"),
+            ("no cartesian", "!CartesianProduct"),
+        ],
+    ),
+    "stream_stateful[pre-start]": (
+        _stream_stateful_plan,
+        [
+            ("Arrow-batched custom state operator", "FlatMapGroupsInPandasWithState"),
+        ],
+    ),
+}
+CUSTOM_CHECKS.update(STREAM_CHECKS)
+
+
+
 # Global scale-killer sweep: three universal rules applied to EVERY
 # batch registry query, audited-or-not — a per-query needle list can
 # miss a regression in a query nobody wrote an entry for.  Excluded
