@@ -24,6 +24,10 @@ import pytest
 SCALE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures", "sf1"
 )
+# the union-find replay below runs at sf0.1 (committed testdata, no
+# fixture build needed): 10x the driver gate with multi-partition
+# superstep merges, at ~1/25 the sf1 pair-stage cost
+CLUSTER_REPLAY_DIR = "/root/testdata/sf0.1"
 
 # heavy + representative: scan/agg/join, window, LSH dedup (two-regime
 # path), PPJoin exact twin proof, sampling, curation, and the two
@@ -267,3 +271,70 @@ def test_levenshtein_contract_at_scale(spark):
     # every seed doc pairs with its ' qz' mutant at exactly distance 3
     for seed in range(LEV_SEEDS):
         assert pairs.get((seed, seed + 300000)) == 3, seed
+
+
+@pytest.mark.slow
+def test_dedup_clusters_match_union_find_at_scale(spark):
+    """llm_dedup_clusters' DuckDB oracle is a recursive CTE over the
+    full shingle self-join (~160 s at sf1 — measured and excluded from
+    the hash net above; the naive exact pair stage alone costs ~90 s
+    Spark-side there, twice, so even a Spark-only replay is too heavy
+    at sf1), so the replay runs at the always-available sf0.1 point —
+    still 10x the driver gate, with real multi-partition superstep
+    merge order: collect the near-dup edge list the query itself is
+    built on (ngram_jaccard_pairs — separately proven by the PPJoin
+    lossless property tests and the sf0.01 driver oracle), run a
+    textbook union-find over it, and require the distributed
+    label-propagation partition to match EXACTLY — same clusters, same
+    min-id canonical labels, every doc labeled once.  The CC operator
+    itself is additionally hash-proven at sf1 via
+    dblp_coauthor_components_star in the net above."""
+    import __spark_entry__ as entrymod
+    from map_reduce_for_dbpl_dataset_spark.queries.llm import (
+        _docs_shingled,
+        ngram_jaccard_pairs,
+    )
+
+    edges = [
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            _docs_shingled(spark, CLUSTER_REPLAY_DIR), "doc_id", "shingles", threshold=0.8
+        ).collect()
+    ]
+    n_docs = spark.read.parquet(
+        os.path.join(CLUSTER_REPLAY_DIR, "documents.parquet")
+    ).count()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min doc_id of the component; singletons label
+    # themselves (the query emits every vertex)
+    roots = {x: find(x) for x in parent}
+
+    rows = entrymod.queries()["llm_dedup_clusters"](spark, CLUSTER_REPLAY_DIR).collect()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    got = {r.doc_id: r.cluster_id for r in rows}
+    for r in rows:
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+    for doc, lbl in got.items():
+        assert lbl == roots.get(doc, doc), doc
+    # non-vacuous: the tagged near-dup fixtures must produce edges and
+    # multi-member clusters, and transitivity must actually fire (some
+    # component larger than any single edge's endpoints: >= 3 members)
+    assert edges
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    assert max(sizes.values()) >= 3
+    assert sum(1 for s in sizes.values() if s >= 2) >= 2
