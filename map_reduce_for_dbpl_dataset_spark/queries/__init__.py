@@ -52,66 +52,14 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 5 (2 rows — stalest, at the 3-round staleness bound;
-    # displaced from the round-8 window by the 3 _CHANGED
-    # re-certifications, both independently hash-checked at the sf1
-    # scale point every pytest run and re-oracled green by the round-8
-    # judge; they lead the round-9 window) ---
-    "tpch_events_retention": 5,
-    "tpch_market_share": 5,
-    # --- round 6 (49 rows; 48 fill the rest of the round-9 window,
-    # the last by surface-risk/name order — tpch_percentiles — slips
-    # to round 10, within the 3-round bound) ---
-    "dblp_coauthor_components_star": 6,
-    "dblp_coauthor_triangles": 6,
-    "dblp_pagerank": 6,
-    "dblp_q5_literal_all": 6,
-    "dblp_q5_top_coauthor_volume": 6,
-    "dblp_q6_solo_only_authors": 6,
-    "dblp_xml_ingest": 6,
-    "llm_ann_pq": 6,
-    "llm_bigram_lm_score": 6,
-    "llm_boilerplate_lines": 6,
-    "llm_bpe_encode": 6,
-    "llm_bpe_segment": 6,
-    "llm_bpe_train": 6,
-    "llm_dedup_incremental": 6,
-    "llm_dedup_levenshtein": 6,
-    "llm_dedup_minhash_lsh": 6,
-    "llm_embed_classifier": 6,
-    "llm_hard_negatives": 6,
-    "llm_quality_select": 6,
-    "llm_repetition": 6,
-    "llm_semdedup": 6,
-    "llm_semdedup_scaled": 6,
-    "llm_semdedup_trained": 6,
-    "llm_semdedup_trained_k32": 6,
-    "llm_token_count": 6,
-    "llm_trimmed_mean_grouped_agg": 6,
-    "stream_dedup_parity": 6,
-    "stream_session_parity": 6,
-    "stream_sliding_parity": 6,
-    "stream_stateful_user_stats": 6,
-    "stream_stream_join_parity": 6,
-    "stream_tumbling_parity": 6,
-    "tpch_approx_distinct": 6,
-    "tpch_array_ops": 6,
-    "tpch_asof_cogroup": 6,
-    "tpch_bloom_filter_join": 6,
-    "tpch_cms_heavy_hitters": 6,
-    "tpch_dynamic_partition_pruning": 6,
-    "tpch_events_funnel": 6,
-    "tpch_events_rollup_hierarchy": 6,
-    "tpch_hash_sample": 6,
-    "tpch_histogram": 6,
-    "tpch_hll_incremental": 6,
-    "tpch_interval_join": 6,
-    "tpch_json_extract": 6,
-    "tpch_lateral_posexplode": 6,
-    "tpch_merge_upsert": 6,
+    # --- round 6 (1 row — stalest; leads the round-10 window by the
+    # rotation policy, exactly as predicted in the round-8/9 ledger
+    # comments) ---
     "tpch_percentiles": 6,
-    "tpch_window_ntile": 6,
-    # --- round 7 (48 rows) ---
+    # --- round 7 (48 rows; fill the next 48 slots of the round-10
+    # window, so the last by surface-risk/name order within the tier
+    # slips nothing — 1 + 48 = 49 leaves one slot for the first
+    # round-8 row, stream_checkpoint_recovery by surface-risk order) ---
     "dblp_coauthor_components": 7,
     "dblp_coauthor_pairs": 7,
     "dblp_q1_top_authors_per_venue": 7,
@@ -160,7 +108,7 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_weighted_sample": 7,
     "tpch_window_range_frame": 7,
     "tpch_zorder_range_scan": 7,
-    # --- round 8 (50 rows, freshest) ---
+    # --- round 8 (50 rows) ---
     "llm_ann_brute_topk": 8,
     "llm_ann_ivf": 8,
     "llm_ann_ivf_trained": 8,
@@ -211,15 +159,69 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 8,
     "tpch_window_lag_gap": 8,
     "tpch_window_running_total": 8,
+    # --- round 9 (50 rows, freshest — the full predicted window:
+    # the 2 round-5 rows + 48 of the 49 round-6 rows, all green) ---
+    "dblp_coauthor_components_star": 9,
+    "dblp_coauthor_triangles": 9,
+    "dblp_pagerank": 9,
+    "dblp_q5_literal_all": 9,
+    "dblp_q5_top_coauthor_volume": 9,
+    "dblp_q6_solo_only_authors": 9,
+    "dblp_xml_ingest": 9,
+    "llm_ann_pq": 9,
+    "llm_bigram_lm_score": 9,
+    "llm_boilerplate_lines": 9,
+    "llm_bpe_encode": 9,
+    "llm_bpe_segment": 9,
+    "llm_bpe_train": 9,
+    "llm_dedup_incremental": 9,
+    "llm_dedup_levenshtein": 9,
+    "llm_dedup_minhash_lsh": 9,
+    "llm_embed_classifier": 9,
+    "llm_hard_negatives": 9,
+    "llm_quality_select": 9,
+    "llm_repetition": 9,
+    "llm_semdedup": 9,
+    "llm_semdedup_scaled": 9,
+    "llm_semdedup_trained": 9,
+    "llm_semdedup_trained_k32": 9,
+    "llm_token_count": 9,
+    "llm_trimmed_mean_grouped_agg": 9,
+    "stream_dedup_parity": 9,
+    "stream_session_parity": 9,
+    "stream_sliding_parity": 9,
+    "stream_stateful_user_stats": 9,
+    "stream_stream_join_parity": 9,
+    "stream_tumbling_parity": 9,
+    "tpch_approx_distinct": 9,
+    "tpch_array_ops": 9,
+    "tpch_asof_cogroup": 9,
+    "tpch_bloom_filter_join": 9,
+    "tpch_cms_heavy_hitters": 9,
+    "tpch_dynamic_partition_pruning": 9,
+    "tpch_events_funnel": 9,
+    "tpch_events_retention": 9,
+    "tpch_events_rollup_hierarchy": 9,
+    "tpch_hash_sample": 9,
+    "tpch_histogram": 9,
+    "tpch_hll_incremental": 9,
+    "tpch_interval_join": 9,
+    "tpch_json_extract": 9,
+    "tpch_lateral_posexplode": 9,
+    "tpch_market_share": 9,
+    "tpch_merge_upsert": 9,
+    "tpch_window_ntile": 9,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-9 policy (standing judge directive, round-8
-# verdict item 2): NO new registry queries this round, and an empty
-# _CHANGED unless a certified query's implementation or oracle is
-# edited — with both, the round-9 window is exactly the 2 round-5 rows
-# plus 48 of the 49 round-6 rows, bringing the whole 149-row registry
-# inside a strict 2-round staleness bound by round 10.
+# green driver row.  Round-10 policy (standing judge directive, round-8
+# verdict item 2, still in force): NO new registry queries, and an
+# empty _CHANGED unless a certified query's implementation or oracle is
+# edited — with both, the round-10 window is exactly the 1 round-6 row
+# (tpch_percentiles) + all 48 round-7 rows + the first round-8 row by
+# surface-risk order (stream_checkpoint_recovery), after which every
+# registry row sits inside a strict 2-round staleness bound — the
+# rotation's designed steady state.
 _CHANGED: list[str] = []
 
 

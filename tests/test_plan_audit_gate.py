@@ -15,19 +15,29 @@ catch, so the audit's exit code is asserted here, CI-style.
 from __future__ import annotations
 
 import hashlib
+import os
 import subprocess
 import sys
 from pathlib import Path
+
+import pyspark
 
 REPO = Path(__file__).resolve().parents[1]
 
 
 def _audit_source_digest() -> str:
-    """Digest of every file that can change the audit's outcome: the
+    """Digest of every input that can change the audit's outcome: the
     whole query/operator package, the auditor itself, the entry module,
-    and the committed report.  (The planned-against sf0.01 testdata is
-    immutable, so it is not part of the key.)"""
+    the committed report, AND the plan-shaping environment — the
+    installed pyspark version and ``SPARK_GRAFT_CPUS`` (which sets the
+    session's shuffle-partition count, so hashpartitioning nodes in the
+    plan text carry it).  Round-9 ADVICE: without the environment
+    inputs, a cached green from one environment silently skipped the
+    gate in another where a fresh run would fail.  (The planned-against
+    sf0.01 testdata is immutable, so it is not part of the key.)"""
     h = hashlib.sha256()
+    h.update(pyspark.__version__.encode())
+    h.update(os.environ.get("SPARK_GRAFT_CPUS", "32").encode())
     paths = sorted(
         [
             *(REPO / "map_reduce_for_dbpl_dataset_spark").rglob("*.py"),
@@ -51,7 +61,9 @@ def test_plan_audit_exits_green_and_report_is_current(request):
     # stays always-on while unchanged-source re-runs are instant.
     digest = _audit_source_digest()
     cache_key = "plan_audit_gate/green_digest"
-    if request.config.cache.get(cache_key, None) == digest:
+    # cache is None under -p no:cacheprovider — run unconditionally.
+    cache = getattr(request.config, "cache", None)
+    if cache is not None and cache.get(cache_key, None) == digest:
         return
     proc = subprocess.run(
         [sys.executable, "tools/plan_audit.py"],
@@ -76,4 +88,5 @@ def test_plan_audit_exits_green_and_report_is_current(request):
     assert fresh_rows == committed_rows, (
         "PLANS.md is stale: regenerate with `python tools/plan_audit.py --write`"
     )
-    request.config.cache.set(cache_key, digest)
+    if cache is not None:
+        cache.set(cache_key, digest)
