@@ -31,16 +31,22 @@ MEASURED NOISE FLOOR (rounds 6 -> 7 ran byte-identical execution
 code, making BENCH_r06 vs BENCH_r07 a controlled environment-noise
 experiment): headline totals move +/-4-5% and individual sub-second
 slots up to +/-20-25% between runs with zero plan change, even after
-calibration normalization.  Three rounds of plan-identical
-comparisons since widened that: the normalized 19-slot total ran
-37.8 (r7) -> 31.3 (r8) -> 34.8 (r9) with no execution-code change,
-so value_per_calibration itself carries ~+/-10% environment noise
-the calibration slot does not capture (page-cache / co-tenancy
-effects scale differently for the synthetic shuffle than for
-parquet-scan-heavy queries).  A round-over-round delta inside
-+/-10% normalized is noise — do not chase it in either direction;
-calibration_sec / value_per_calibration still separate gross
-machine drift from plan drift for anything larger.
+calibration normalization.  Four plan-identical observations of the
+normalized 19-slot total since: 37.8 (r7) -> 31.3 (r8) -> 34.8
+(in-round r9) -> ~36.8 (driver r9 BENCH_r09, after subtracting the
+two slots first added that round) with no execution-code change, so
+value_per_calibration itself carries environment noise the
+calibration slot does not capture (page-cache / co-tenancy effects
+scale differently for the synthetic shuffle than for
+parquet-scan-heavy queries).  Judge the band against the ROLLING
+MEAN of the recent plan-identical runs (~35), not the previous
+round: +/-10% of that mean covers every observation (31.3-38.1),
+while two single runs on identical plans have differed by as much
+as ~17-21% (37.8 -> 31.3).  A new total within +/-10% of the
+recent-rounds mean is noise — do not chase it in either direction;
+only investigate a delta that leaves that band, reading
+calibration_sec first to separate gross machine drift from plan
+drift.
 """
 
 from __future__ import annotations

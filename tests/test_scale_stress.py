@@ -446,24 +446,55 @@ def test_zipf_spectrum_salted_join(spark):
     small = spark.range(1, ZIPF_K + 1).select(
         F.col("id").alias("k"), (F.col("id") * 13 % 97).alias("dim_val")
     )
-    salted = salted_join(big, small, "k", salt=F.col("id"), n_salts=n_salts)
-    plain = big.join(small, "k")
+    # salted_join exists for the broadcast-INELIGIBLE regime; at this
+    # fixture size Catalyst would broadcast the replicated dimension and
+    # never shuffle, so disable auto-broadcast to drive the shuffle path
+    # the operator is for (restored below — the session is shared).
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(big, small, "k", salt=F.col("id"), n_salts=n_salts)
+        plain = big.join(small, "k")
 
-    def checksum(df):
-        return df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.pmod(F.xxhash64("k", "id", "payload", "dim_val"), F.lit(10**9 + 7))
-            ).alias("h"),
-        ).collect()[0]
+        # The claim under test is that salted_join actually repartitions
+        # on the composite (k, _salt) key — not merely that the salt
+        # expression is well-distributed (round-9 ADVICE: the old
+        # bucket-count probe re-derived id % 16 on the raw fact, which
+        # any balanced expression passes without the join ever using
+        # it).  The physical plan must carry a hashpartitioning exchange
+        # whose key list is (k, _salt).
+        import re
 
-    cs, cp = checksum(salted), checksum(plain)
-    assert cs["n"] == cp["n"] == ZIPF_N
-    assert cs["h"] == cp["h"]
+        plan = spark._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            salted._jdf.queryExecution(), "formatted"
+        )
+        assert re.search(r"hashpartitioning\(k#\d+L?, _salt#\d+", plan), plan
+
+        def checksum(df):
+            return df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(
+                        F.xxhash64("k", "id", "payload", "dim_val"),
+                        F.lit(10**9 + 7),
+                    )
+                ).alias("h"),
+            ).collect()[0]
+
+        # Executed inside the no-broadcast window so the checksummed run
+        # takes the same salted-shuffle path the plan assertion proved.
+        cs, cp = checksum(salted), checksum(plain)
+        assert cs["n"] == cp["n"] == ZIPF_N
+        assert cs["h"] == cp["h"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    # And the hot key's rows must land in all n_salts buckets under the
+    # operator's own salt expression — this validates the FIXTURE's
+    # salt choice is balanced enough for the spread to matter.
     spread = [
         r["count"]
         for r in big.filter(F.col("k") == 1)
-        .groupBy((F.col("id") % n_salts).alias("salt"))
+        .groupBy(((F.col("id") % n_salts).cast("int")).alias("salt"))
         .count()
         .collect()
     ]
