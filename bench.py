@@ -212,6 +212,36 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
+    def time_scan_calibration(sf_path: str, n_runs: int) -> float:
+        """Scan-shaped drift yardstick (round-10): the synthetic
+        shuffle calibration above touches no input files, so the
+        page-cache / co-tenancy effects that dominate parquet-scan-
+        heavy queries are invisible to it — the r7-r9 plan-identical
+        rounds moved ~+/-10% normalized for exactly that reason
+        (module docstring).  This slot times a fixed projection +
+        aggregate over lineitem, the largest table at the scale
+        point; its code never changes across rounds, so movement
+        here is I/O-side environment drift.  Timed AFTER the query
+        suite so the first-scan init cost (file listing, footers)
+        stays charged to the same slot it always was."""
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.time()
+            (
+                spark.read.parquet(os.path.join(sf_path, "lineitem.parquet"))
+                .select(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+                    "l_returnflag",
+                )
+                .groupBy("l_returnflag")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
     def time_suite(sf_path: str, n_runs: int) -> dict[str, float]:
         t: dict[str, float] = {}
         for name in names:
@@ -244,6 +274,8 @@ def main() -> None:
         "value_per_calibration": round(total / calibration, 3) if calibration else None,
         # text-scan floor under llm_bigram_lm_score (docstring)
         "bigram_floor_sec": time_bigram_floor(sf_dir, runs),
+        # scan-shaped environment yardstick (see time_scan_calibration)
+        "calibration_scan_sec": time_scan_calibration(sf_dir, runs),
     }
 
     # second scale point: ~10x key-shift-replicated fixtures (built on
@@ -281,6 +313,9 @@ def main() -> None:
             out["queries_sf1"] = times_sf1
             out["value_sf1"] = round(sum(times_sf1.values()), 3)
             out["bigram_floor_sec_sf1"] = time_bigram_floor(scale_dir, scale_runs)
+            out["calibration_scan_sec_sf1"] = time_scan_calibration(
+                scale_dir, scale_runs
+            )
             out["sf1_lineitem_rows"] = (
                 spark.read.parquet(os.path.join(scale_dir, "lineitem.parquet")).count()
             )
