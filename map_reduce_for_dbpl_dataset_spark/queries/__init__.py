@@ -52,63 +52,8 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 6 (1 row — stalest; leads the round-10 window by the
-    # rotation policy, exactly as predicted in the round-8/9 ledger
-    # comments) ---
-    "tpch_percentiles": 6,
-    # --- round 7 (48 rows; fill the next 48 slots of the round-10
-    # window, so the last by surface-risk/name order within the tier
-    # slips nothing — 1 + 48 = 49 leaves one slot for the first
-    # round-8 row, stream_checkpoint_recovery by surface-risk order) ---
-    "dblp_coauthor_components": 7,
-    "dblp_coauthor_pairs": 7,
-    "dblp_q1_top_authors_per_venue": 7,
-    "dblp_q2_consecutive_years": 7,
-    "dblp_q2_literal_dupreset": 7,
-    "dblp_q3_solo_titles_per_venue": 7,
-    "dblp_q4_max_authors_per_venue": 7,
-    "llm_chunk_overlap": 7,
-    "llm_corpus_shuffle": 7,
-    "llm_mixture_sample": 7,
-    "llm_token_rarity": 7,
-    "src_python_datasource": 7,
-    "src_python_datasource_pruned": 7,
-    "stream_foreachbatch_sink": 7,
-    "stream_transform_with_state_gate": 7,
-    "tpch_asof_latest_order": 7,
-    "tpch_bucketed_join": 7,
-    "tpch_case_tiers": 7,
-    "tpch_cube_lineitem": 7,
-    "tpch_distinct_agg": 7,
-    "tpch_events_session": 7,
-    "tpch_events_sliding": 7,
-    "tpch_events_tumbling": 7,
-    "tpch_grouping_sets": 7,
-    "tpch_join_anti": 7,
-    "tpch_join_full_outer": 7,
-    "tpch_join_left_order_counts": 7,
-    "tpch_join_nonequi": 7,
-    "tpch_join_range_bands": 7,
-    "tpch_join_semi": 7,
-    "tpch_map_ops": 7,
-    "tpch_null_semantics": 7,
-    "tpch_pivot_status": 7,
-    "tpch_pricing_summary": 7,
-    "tpch_revenue_by_nation": 7,
-    "tpch_rollup_orders": 7,
-    "tpch_salted_agg": 7,
-    "tpch_salted_join": 7,
-    "tpch_scalar_date": 7,
-    "tpch_sql_api_top_spenders": 7,
-    "tpch_subquery_not_exists": 7,
-    "tpch_udtf_series": 7,
-    "tpch_union_by_name": 7,
-    "tpch_unpivot_melt": 7,
-    "tpch_variant_json": 7,
-    "tpch_weighted_sample": 7,
-    "tpch_window_range_frame": 7,
-    "tpch_zorder_range_scan": 7,
-    # --- round 8 (50 rows) ---
+    # --- round 8 (49 rows — stalest tier; fills the first 49 slots of
+    # the round-11 window under the rotation policy) ---
     "llm_ann_brute_topk": 8,
     "llm_ann_ivf": 8,
     "llm_ann_ivf_trained": 8,
@@ -142,7 +87,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_token_count_arrow": 8,
     "llm_winnow_pairs": 8,
     "llm_zscore_grouped_map": 8,
-    "stream_checkpoint_recovery": 8,
     "stream_late_drop_parity": 8,
     "tpch_scalar_math": 8,
     "tpch_scalar_string": 8,
@@ -159,8 +103,8 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 8,
     "tpch_window_lag_gap": 8,
     "tpch_window_running_total": 8,
-    # --- round 9 (50 rows, freshest — the full predicted window:
-    # the 2 round-5 rows + 48 of the 49 round-6 rows, all green) ---
+    # --- round 9 (50 rows; the first by surface-risk/name order,
+    # stream_dedup_parity, takes the round-11 window's 50th slot) ---
     "dblp_coauthor_components_star": 9,
     "dblp_coauthor_triangles": 9,
     "dblp_pagerank": 9,
@@ -211,17 +155,71 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_market_share": 9,
     "tpch_merge_upsert": 9,
     "tpch_window_ntile": 9,
+    # --- round 10 (50 rows, freshest — the full predicted window:
+    # tpch_percentiles (r6) + all 48 round-7 rows +
+    # stream_checkpoint_recovery, all green, row-for-row as written
+    # in the round-10 ledger comment) ---
+    "dblp_coauthor_components": 10,
+    "dblp_coauthor_pairs": 10,
+    "dblp_q1_top_authors_per_venue": 10,
+    "dblp_q2_consecutive_years": 10,
+    "dblp_q2_literal_dupreset": 10,
+    "dblp_q3_solo_titles_per_venue": 10,
+    "dblp_q4_max_authors_per_venue": 10,
+    "llm_chunk_overlap": 10,
+    "llm_corpus_shuffle": 10,
+    "llm_mixture_sample": 10,
+    "llm_token_rarity": 10,
+    "src_python_datasource": 10,
+    "src_python_datasource_pruned": 10,
+    "stream_checkpoint_recovery": 10,
+    "stream_foreachbatch_sink": 10,
+    "stream_transform_with_state_gate": 10,
+    "tpch_asof_latest_order": 10,
+    "tpch_bucketed_join": 10,
+    "tpch_case_tiers": 10,
+    "tpch_cube_lineitem": 10,
+    "tpch_distinct_agg": 10,
+    "tpch_events_session": 10,
+    "tpch_events_sliding": 10,
+    "tpch_events_tumbling": 10,
+    "tpch_grouping_sets": 10,
+    "tpch_join_anti": 10,
+    "tpch_join_full_outer": 10,
+    "tpch_join_left_order_counts": 10,
+    "tpch_join_nonequi": 10,
+    "tpch_join_range_bands": 10,
+    "tpch_join_semi": 10,
+    "tpch_map_ops": 10,
+    "tpch_null_semantics": 10,
+    "tpch_percentiles": 10,
+    "tpch_pivot_status": 10,
+    "tpch_pricing_summary": 10,
+    "tpch_revenue_by_nation": 10,
+    "tpch_rollup_orders": 10,
+    "tpch_salted_agg": 10,
+    "tpch_salted_join": 10,
+    "tpch_scalar_date": 10,
+    "tpch_sql_api_top_spenders": 10,
+    "tpch_subquery_not_exists": 10,
+    "tpch_udtf_series": 10,
+    "tpch_union_by_name": 10,
+    "tpch_unpivot_melt": 10,
+    "tpch_variant_json": 10,
+    "tpch_weighted_sample": 10,
+    "tpch_window_range_frame": 10,
+    "tpch_zorder_range_scan": 10,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-10 policy (standing judge directive, round-8
-# verdict item 2, still in force): NO new registry queries, and an
-# empty _CHANGED unless a certified query's implementation or oracle is
-# edited — with both, the round-10 window is exactly the 1 round-6 row
-# (tpch_percentiles) + all 48 round-7 rows + the first round-8 row by
-# surface-risk order (stream_checkpoint_recovery), after which every
-# registry row sits inside a strict 2-round staleness bound — the
-# rotation's designed steady state.
+# green driver row.  Round-11 policy (standing judge directive, round-8
+# verdict item 2, reaffirmed in the round-10 verdict): NO new registry
+# queries unless a container gate opens, and an empty _CHANGED unless a
+# certified query's implementation or oracle is edited — with both, the
+# round-11 window is exactly the 49 round-8 rows + the first round-9
+# row by surface-risk order (stream_dedup_parity).  Post-fold staleness
+# histogram: 49@r8 / 50@r9 / 50@r10 — every row <=2 rounds stale, the
+# rotation's designed steady state (reached at the r10 fold, held here).
 _CHANGED: list[str] = []
 
 
