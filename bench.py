@@ -320,7 +320,12 @@ def main() -> None:
                 spark.read.parquet(os.path.join(scale_dir, "lineitem.parquet")).count()
             )
         except Exception as exc:  # degrade to the primary-only JSON line
-            for k in ("queries_sf1", "value_sf1", "sf1_lineitem_rows"):
+            # Pop EVERY sf1 key assigned in the try block above: a
+            # failure after some keys landed (e.g. in the lineitem row
+            # count) must not emit partial sf1 data that looks complete
+            # (round-10 ADVICE).
+            for k in ("queries_sf1", "value_sf1", "bigram_floor_sec_sf1",
+                      "calibration_scan_sec_sf1", "sf1_lineitem_rows"):
                 out.pop(k, None)
             print(f"scale point failed, primary result kept: {exc!r}",
                   file=sys.stderr)

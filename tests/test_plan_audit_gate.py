@@ -36,8 +36,11 @@ def _audit_source_digest() -> str:
     gate in another where a fresh run would fail.  (The planned-against
     sf0.01 testdata is immutable, so it is not part of the key.)"""
     h = hashlib.sha256()
-    h.update(pyspark.__version__.encode())
-    h.update(os.environ.get("SPARK_GRAFT_CPUS", "32").encode())
+    # NUL-delimit each variable-length field so distinct input
+    # combinations cannot concatenate to the same byte stream (e.g.
+    # version "4.1.2" + cpus "32" vs "4.1.23" + "2" — round-10 ADVICE).
+    h.update(pyspark.__version__.encode() + b"\0")
+    h.update(os.environ.get("SPARK_GRAFT_CPUS", "32").encode() + b"\0")
     paths = sorted(
         [
             *(REPO / "map_reduce_for_dbpl_dataset_spark").rglob("*.py"),
@@ -47,8 +50,10 @@ def _audit_source_digest() -> str:
         ]
     )
     for p in paths:
-        h.update(str(p.relative_to(REPO)).encode())
-        h.update(p.read_bytes())
+        h.update(str(p.relative_to(REPO)).encode() + b"\0")
+        b = p.read_bytes()
+        h.update(str(len(b)).encode() + b"\0")  # length-prefix the bytes
+        h.update(b)
     return h.hexdigest()
 
 
