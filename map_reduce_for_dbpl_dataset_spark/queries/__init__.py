@@ -52,59 +52,62 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 8 (49 rows — stalest tier; fills the first 49 slots of
-    # the round-11 window under the rotation policy) ---
-    "llm_ann_brute_topk": 8,
-    "llm_ann_ivf": 8,
-    "llm_ann_ivf_trained": 8,
-    "llm_ann_lsh_topk": 8,
-    "llm_ann_pq_trained": 8,
-    "llm_cluster_top_terms": 8,
-    "llm_decontaminate": 8,
-    "llm_decontaminate_semantic": 8,
-    "llm_dedup_clusters": 8,
-    "llm_dedup_embedding": 8,
-    "llm_dedup_exact": 8,
-    "llm_dedup_simhash": 8,
-    "llm_domain_mixture": 8,
-    "llm_fingerprint_rolling": 8,
-    "llm_inverted_index": 8,
-    "llm_kmeans": 8,
-    "llm_langid": 8,
-    "llm_leakage_free_split": 8,
-    "llm_multimodal_features": 8,
-    "llm_multimodal_frames": 8,
-    "llm_multimodal_resize": 8,
-    "llm_ngram_jaccard": 8,
-    "llm_ngram_jaccard_prefix": 8,
-    "llm_pii_scrub": 8,
-    "llm_quality_pandas_udf": 8,
-    "llm_quality_select_approx": 8,
-    "llm_sequence_pack": 8,
-    "llm_substring_spans": 8,
-    "llm_text_stats": 8,
-    "llm_tfidf_top_terms": 8,
-    "llm_token_count_arrow": 8,
-    "llm_winnow_pairs": 8,
-    "llm_zscore_grouped_map": 8,
-    "stream_late_drop_parity": 8,
-    "tpch_scalar_math": 8,
-    "tpch_scalar_string": 8,
-    "tpch_scan_filter_project": 8,
-    "tpch_set_ops_nations": 8,
-    "tpch_sink_csv_roundtrip": 8,
-    "tpch_sink_json_roundtrip": 8,
-    "tpch_sink_orc_roundtrip": 8,
-    "tpch_sink_partitioned_parquet": 8,
-    "tpch_sink_text_ordered": 8,
-    "tpch_stats_agg": 8,
-    "tpch_subquery_correlated": 8,
-    "tpch_subquery_in": 8,
-    "tpch_top3_orders_per_cust": 8,
-    "tpch_window_lag_gap": 8,
-    "tpch_window_running_total": 8,
-    # --- round 9 (50 rows; the first by surface-risk/name order,
-    # stream_dedup_parity, takes the round-11 window's 50th slot) ---
+    # --- round 11 (50 rows, freshest — the full predicted window:
+    # the 49 round-8 rows + stream_dedup_parity, all green, row-for-row
+    # as written in the round-11 ledger comment; third consecutive round
+    # the forward prediction held) ---
+    "llm_ann_brute_topk": 11,
+    "llm_ann_ivf": 11,
+    "llm_ann_ivf_trained": 11,
+    "llm_ann_lsh_topk": 11,
+    "llm_ann_pq_trained": 11,
+    "llm_cluster_top_terms": 11,
+    "llm_decontaminate": 11,
+    "llm_decontaminate_semantic": 11,
+    "llm_dedup_clusters": 11,
+    "llm_dedup_embedding": 11,
+    "llm_dedup_exact": 11,
+    "llm_dedup_simhash": 11,
+    "llm_domain_mixture": 11,
+    "llm_fingerprint_rolling": 11,
+    "llm_inverted_index": 11,
+    "llm_kmeans": 11,
+    "llm_langid": 11,
+    "llm_leakage_free_split": 11,
+    "llm_multimodal_features": 11,
+    "llm_multimodal_frames": 11,
+    "llm_multimodal_resize": 11,
+    "llm_ngram_jaccard": 11,
+    "llm_ngram_jaccard_prefix": 11,
+    "llm_pii_scrub": 11,
+    "llm_quality_pandas_udf": 11,
+    "llm_quality_select_approx": 11,
+    "llm_sequence_pack": 11,
+    "llm_substring_spans": 11,
+    "llm_text_stats": 11,
+    "llm_tfidf_top_terms": 11,
+    "llm_token_count_arrow": 11,
+    "llm_winnow_pairs": 11,
+    "llm_zscore_grouped_map": 11,
+    "stream_late_drop_parity": 11,
+    "tpch_scalar_math": 11,
+    "tpch_scalar_string": 11,
+    "tpch_scan_filter_project": 11,
+    "tpch_set_ops_nations": 11,
+    "tpch_sink_csv_roundtrip": 11,
+    "tpch_sink_json_roundtrip": 11,
+    "tpch_sink_orc_roundtrip": 11,
+    "tpch_sink_partitioned_parquet": 11,
+    "tpch_sink_text_ordered": 11,
+    "tpch_stats_agg": 11,
+    "tpch_subquery_correlated": 11,
+    "tpch_subquery_in": 11,
+    "tpch_top3_orders_per_cust": 11,
+    "tpch_window_lag_gap": 11,
+    "tpch_window_running_total": 11,
+    # --- round 9 (49 rows — stalest tier after stream_dedup_parity's
+    # round-11 refresh; fills the first 49 slots of the round-12 window
+    # under the rotation policy) ---
     "dblp_coauthor_components_star": 9,
     "dblp_coauthor_triangles": 9,
     "dblp_pagerank": 9,
@@ -131,7 +134,7 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_semdedup_trained_k32": 9,
     "llm_token_count": 9,
     "llm_trimmed_mean_grouped_agg": 9,
-    "stream_dedup_parity": 9,
+    "stream_dedup_parity": 11,
     "stream_session_parity": 9,
     "stream_sliding_parity": 9,
     "stream_stateful_user_stats": 9,
@@ -155,10 +158,9 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_market_share": 9,
     "tpch_merge_upsert": 9,
     "tpch_window_ntile": 9,
-    # --- round 10 (50 rows, freshest — the full predicted window:
-    # tpch_percentiles (r6) + all 48 round-7 rows +
-    # stream_checkpoint_recovery, all green, row-for-row as written
-    # in the round-10 ledger comment) ---
+    # --- round 10 (50 rows; the first by surface-risk/name order,
+    # stream_checkpoint_recovery, takes the round-12 window's 50th
+    # slot) ---
     "dblp_coauthor_components": 10,
     "dblp_coauthor_pairs": 10,
     "dblp_q1_top_authors_per_venue": 10,
@@ -212,14 +214,14 @@ _LAST_CHECKED: dict[str, int] = {
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-11 policy (standing judge directive, round-8
-# verdict item 2, reaffirmed in the round-10 verdict): NO new registry
+# green driver row.  Round-12 policy (standing judge directive, round-8
+# verdict item 2, reaffirmed in the round-11 verdict): NO new registry
 # queries unless a container gate opens, and an empty _CHANGED unless a
 # certified query's implementation or oracle is edited — with both, the
-# round-11 window is exactly the 49 round-8 rows + the first round-9
-# row by surface-risk order (stream_dedup_parity).  Post-fold staleness
-# histogram: 49@r8 / 50@r9 / 50@r10 — every row <=2 rounds stale, the
-# rotation's designed steady state (reached at the r10 fold, held here).
+# round-12 window is exactly the 49 round-9 rows + the first round-10
+# row by surface-risk order (stream_checkpoint_recovery).  Post-fold
+# staleness histogram: 49@r9 / 50@r10 / 50@r11 — every row <=2 rounds
+# stale, the rotation's designed steady state (held for a third round).
 _CHANGED: list[str] = []
 
 
