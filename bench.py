@@ -47,6 +47,23 @@ recent-rounds mean is noise — do not chase it in either direction;
 only investigate a delta that leaves that band, reading
 calibration_sec first to separate gross machine drift from plan
 drift.
+
+ATTRIBUTION RULE (which calibration slot explains which query —
+rounds 10 -> 11 ran byte-identical execution code and the two slots
+moved in OPPOSITE directions: shuffle calibration_sec 0.608 -> 0.721,
++18.6%, while calibration_scan_sec fell 0.243 -> 0.205 sf0.1 /
+0.383 -> 0.341 sf1, about -15%): normalize shuffle/agg/join-dominated
+slots (most of the headline — the tpch aggregates, window queries,
+pair-join dedup stages) by calibration_sec, and scan-dominated slots
+(llm_bigram_lm_score and its floor, llm_text_stats, anything whose
+audit profile is a narrow map over documents/lineitem) by
+calibration_scan_sec.  When the two calibrations diverge, expect the
+per-slot deltas to SPLIT the same way — r11's +26-30% rises were all
+shuffle-shaped slots tracking the +19% shuffle drift while scan
+slots fell with the scan yardstick — and read a headline delta as
+environmental iff each slot's move tracks its own shape's yardstick;
+a slot moving AGAINST its shape's calibration (or far beyond it) on
+an unchanged plan is the real-regression signal worth investigating.
 """
 
 from __future__ import annotations
@@ -307,26 +324,27 @@ def main() -> None:
             print(r.stderr.decode()[-2000:], file=sys.stderr)
             shutil.rmtree(tmp_dir, ignore_errors=True)
     if os.path.isdir(scale_dir) and os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        # Stage every sf1 key in a local dict and merge into the output
+        # only after ALL of them computed: a failure partway (e.g. in
+        # the lineitem row count) then cannot emit partial sf1 data
+        # that looks complete, and there is no cleanup key list to keep
+        # in sync with the assignments (round-10 + round-11 ADVICE).
         try:
             scale_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_SCALE", str(runs)))
             times_sf1 = time_suite(scale_dir, scale_runs)
-            out["queries_sf1"] = times_sf1
-            out["value_sf1"] = round(sum(times_sf1.values()), 3)
-            out["bigram_floor_sec_sf1"] = time_bigram_floor(scale_dir, scale_runs)
-            out["calibration_scan_sec_sf1"] = time_scan_calibration(
-                scale_dir, scale_runs
-            )
-            out["sf1_lineitem_rows"] = (
-                spark.read.parquet(os.path.join(scale_dir, "lineitem.parquet")).count()
-            )
+            sf1_out = {
+                "queries_sf1": times_sf1,
+                "value_sf1": round(sum(times_sf1.values()), 3),
+                "bigram_floor_sec_sf1": time_bigram_floor(scale_dir, scale_runs),
+                "calibration_scan_sec_sf1": time_scan_calibration(
+                    scale_dir, scale_runs
+                ),
+                "sf1_lineitem_rows": spark.read.parquet(
+                    os.path.join(scale_dir, "lineitem.parquet")
+                ).count(),
+            }
+            out.update(sf1_out)
         except Exception as exc:  # degrade to the primary-only JSON line
-            # Pop EVERY sf1 key assigned in the try block above: a
-            # failure after some keys landed (e.g. in the lineitem row
-            # count) must not emit partial sf1 data that looks complete
-            # (round-10 ADVICE).
-            for k in ("queries_sf1", "value_sf1", "bigram_floor_sec_sf1",
-                      "calibration_scan_sec_sf1", "sf1_lineitem_rows"):
-                out.pop(k, None)
             print(f"scale point failed, primary result kept: {exc!r}",
                   file=sys.stderr)
 
