@@ -11,12 +11,33 @@ publications fixture by ABSOLUTE path, so for the graph family the
 test rewrites that one literal path to the scale dir's inflated
 publications.parquet (same SQL, 10x input — round-4 verdict #5).
 Skipped when the scale fixtures are absent.
+
+GREEN-RESULT CACHE (round-11 verdict item 2 — full-suite wall time
+back under ~20 min with this net intact and always-on; the verdict
+itself named "digest-key a cache like tests/test_plan_audit_gate.py's"
+as an accepted mechanism): each green per-query result is cached in
+the pytest cache keyed on a digest of every input that can change the
+outcome — the whole query/operator package, the entry module, this
+test file, conftest.py (it pins the session's cpus/shuffle-partition
+counts), the pyspark AND duckdb versions (both engines' results feed
+the compare), and the scale fixtures' MANIFEST.json.  The manifest is
+an honest proxy for the fixture bytes because
+test_scale_fixtures_match_manifest — which recomputes every table's
+digest from the parquet files on disk and is deliberately NEVER
+cached — runs in the same session and fails loudly on any drift.  Any
+edit to code, oracles, environment, or fixtures changes the key and
+re-runs the full net; unchanged-source re-runs skip straight through,
+exactly the plan-audit gate's contract.  (The sf0.1 union-find replay
+below keys on the same digest; /root/testdata is immutable, matching
+the plan-audit gate's rationale for leaving testdata out of the key.)
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+from pathlib import Path
 
 import duckdb
 import pytest
@@ -174,12 +195,87 @@ SCALE_QUERIES = [
     "tpch_cms_heavy_hitters",
     "tpch_hll_incremental",
     "llm_kmeans",
+    # round-12 net widening — the last oracle-feasible families not yet
+    # at 10x (round-10 item 5 / round-11 item 4; Spark + oracle seconds
+    # at sf1 in parens, measured before admission): the streaming
+    # parity family — micro-batch replay over 10x events moves batch
+    # boundaries, state-store merge order, and watermark advancement,
+    # exactly what the append-mode parities must be invariant to —
+    # tumbling (9.8+0.1 s), sliding (2.2+0.1 s), the dropDuplicates
+    # state path (6.6+0.1 s), the phased-late watermark DROP semantics
+    # (5.8+0.1 s), and the stream-stream interval join (4.2+0.1 s);
+    # plus the three format roundtrip sinks (json 0.8+0.1 s, orc
+    # 0.8+0.1 s, csv '|'-sep 1.1+0.1 s — each drives the full
+    # write-then-read path over 10x input).  Measured-and-excluded:
+    # stream_session_parity (14.3 s Spark but a 954,650-row output —
+    # the python-side tuple compare would be the cost, not the
+    # engines; same rationale as tpch_window_lag_gap above.  Its
+    # session-window state machinery is covered at 10x by the
+    # flatMapGroupsWithState row in the driver rotation and the
+    # sliding/tumbling state paths here).
+    "stream_tumbling_parity",
+    "stream_sliding_parity",
+    "stream_dedup_parity",
+    "stream_late_drop_parity",
+    "stream_stream_join_parity",
+    "tpch_sink_json_roundtrip",
+    "tpch_sink_orc_roundtrip",
+    "tpch_sink_csv_roundtrip",
 ]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+_REPO = Path(__file__).resolve().parents[1]
+_DIGEST: str | None = None
+
+
+def _scale_net_digest() -> str:
+    """Digest of every input that can change a scale-net outcome (see
+    module docstring).  Computed once per session."""
+    global _DIGEST
+    if _DIGEST is not None:
+        return _DIGEST
+    import pyspark
+
+    h = hashlib.sha256()
+    h.update(pyspark.__version__.encode() + b"\0")
+    h.update(duckdb.__version__.encode() + b"\0")
+    paths = sorted(
+        [
+            *(_REPO / "map_reduce_for_dbpl_dataset_spark").rglob("*.py"),
+            _REPO / "__spark_entry__.py",
+            _REPO / "tests" / "conftest.py",
+            Path(__file__),
+        ]
+    )
+    manifest = Path(SCALE_DIR) / "MANIFEST.json"
+    if manifest.is_file():
+        paths.append(manifest)
+    for p in paths:
+        h.update(str(p).encode() + b"\0")
+        b = p.read_bytes()
+        h.update(str(len(b)).encode() + b"\0")
+        h.update(b)
+    _DIGEST = h.hexdigest()
+    return _DIGEST
+
+
+def _cached_green(request, slot: str) -> bool:
+    """True iff this slot's last green run used byte-identical inputs
+    (digest match).  None-cache (-p no:cacheprovider) → always run."""
+    cache = getattr(request.config, "cache", None)
+    return cache is not None and (
+        cache.get(f"scale_correctness/{slot}", None) == _scale_net_digest()
+    )
+
+
+def _mark_green(request, slot: str) -> None:
+    cache = getattr(request.config, "cache", None)
+    if cache is not None:
+        cache.set(f"scale_correctness/{slot}", _scale_net_digest())
 
 
 def _norm(v):
@@ -210,7 +306,10 @@ def test_scale_fixtures_match_manifest():
     not os.path.isdir(SCALE_DIR), reason="scale fixtures not built"
 )
 @pytest.mark.parametrize("name", SCALE_QUERIES)
-def test_oracle_holds_at_scale_point(spark, name):
+def test_oracle_holds_at_scale_point(name, request):
+    if _cached_green(request, name):
+        return  # byte-identical inputs, prior green — skip (docstring)
+    spark = request.getfixturevalue("spark")  # lazy: cached runs never start Spark
     import __spark_entry__ as entrymod
     from map_reduce_for_dbpl_dataset_spark.sources.parquet import PUBLICATIONS_PATH
 
@@ -239,13 +338,14 @@ def test_oracle_holds_at_scale_point(spark, name):
     o = sorted(tuple(_norm(row[i]) for i in o_idx) for row in rel.fetchall())
     assert len(s) == len(o) > 0
     assert s == o
+    _mark_green(request, name)
 
 
 @pytest.mark.slow
 @pytest.mark.skipif(
     not os.path.isdir(SCALE_DIR), reason="scale fixtures not built"
 )
-def test_leakage_split_invariant_at_scale(spark):
+def test_leakage_split_invariant_at_scale(request):
     """llm_leakage_free_split's recursive-CTE oracle needs ~3 min in
     DuckDB at this size (the shingle self-join), so the scale point
     checks the operator's CONTRACT Spark-side instead: every near-dup
@@ -253,6 +353,9 @@ def test_leakage_split_invariant_at_scale(spark):
     the 10x fixtures' tagged near-dup structure yields multi-member
     clusters (so the invariant is not vacuous).  The full oracle hash
     runs at sf0.01 in the driver gate."""
+    if _cached_green(request, "leakage_split_contract"):
+        return
+    spark = request.getfixturevalue("spark")
     import __spark_entry__ as entrymod
 
     rows = entrymod.queries()["llm_leakage_free_split"](spark, SCALE_DIR).collect()
@@ -266,13 +369,14 @@ def test_leakage_split_invariant_at_scale(spark):
     # multi-member clusters (fewer clusters than rows) — otherwise the
     # one-split-per-cluster invariant above holds trivially
     assert len(by_cluster) < len(rows)
+    _mark_green(request, "leakage_split_contract")
 
 
 @pytest.mark.slow
 @pytest.mark.skipif(
     not os.path.isdir(SCALE_DIR), reason="scale fixtures not built"
 )
-def test_levenshtein_contract_at_scale(spark):
+def test_levenshtein_contract_at_scale(request):
     """llm_dedup_levenshtein's DuckDB oracle pays a full O(len^2) DP
     per blocked pair (no threshold form in DuckDB — hours at sf1), so
     the 10x point checks the operator's CONTRACT Spark-side: every
@@ -282,6 +386,9 @@ def test_levenshtein_contract_at_scale(spark):
     threshold-DP + length-band + salted-pair fixes this query did not
     finish at this scale point (>28 min); the test doubles as the
     regression guard for that."""
+    if _cached_green(request, "levenshtein_contract"):
+        return
+    spark = request.getfixturevalue("spark")
     import __spark_entry__ as entrymod
     from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
         LEV_MAX_DIST,
@@ -295,10 +402,11 @@ def test_levenshtein_contract_at_scale(spark):
     # every seed doc pairs with its ' qz' mutant at exactly distance 3
     for seed in range(LEV_SEEDS):
         assert pairs.get((seed, seed + 300000)) == 3, seed
+    _mark_green(request, "levenshtein_contract")
 
 
 @pytest.mark.slow
-def test_dedup_clusters_match_union_find_at_scale(spark):
+def test_dedup_clusters_match_union_find_at_scale(request):
     """llm_dedup_clusters' DuckDB oracle is a recursive CTE over the
     full shingle self-join (~160 s at sf1 — measured and excluded from
     the hash net above; the naive exact pair stage alone costs ~90 s
@@ -313,6 +421,9 @@ def test_dedup_clusters_match_union_find_at_scale(spark):
     min-id canonical labels, every doc labeled once.  The CC operator
     itself is additionally hash-proven at sf1 via
     dblp_coauthor_components_star in the net above."""
+    if _cached_green(request, "dedup_clusters_union_find_replay"):
+        return
+    spark = request.getfixturevalue("spark")
     import __spark_entry__ as entrymod
     from map_reduce_for_dbpl_dataset_spark.queries.llm import (
         _docs_shingled,
@@ -362,3 +473,4 @@ def test_dedup_clusters_match_union_find_at_scale(spark):
     sizes = Counter(got.values())
     assert max(sizes.values()) >= 3
     assert sum(1 for s in sizes.values() if s >= 2) >= 2
+    _mark_green(request, "dedup_clusters_union_find_replay")
