@@ -532,3 +532,54 @@ def test_zipf_spectrum_top_k_per_group(spark):
             ).collect()
         ]
         assert sorted(got[probe], key=lambda t: (-t[0], t[1])) == want, probe
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_PROBE") != "1",
+    reason="opt-in (round-11 verdict item 7): set SPARK_GRAFT_SCALE_PROBE=1",
+)
+def test_pair_stage_scaling_exponent():
+    """Opt-in 30x scale-exponent probe for the two heaviest
+    spread_for_pair_join callers (round-11 verdict item 7): runs
+    tools/scale_probe.py in its own subprocess (own local[N] session —
+    the probe measures throughput, so it must not inherit this suite's
+    deliberately small cpus=4 session), which times llm_winnow_pairs
+    and llm_substring_spans at the 10x (fixtures/sf1) and 30x
+    documents-only (fixtures/sf3docs) key-shift points and reports
+    exponent = log(t_30x/t_10x)/log(3).  Asserts every exponent < 1.8
+    — the red line between "subquadratic with noise headroom" and "the
+    spread/candidate discipline regressed to all-pairs" (exponent 2).
+    MEASURED (round 12, local[32], best-of-2 at 10x / warmed single
+    run at 30x): see tools/scale_probe.py's docstring for the pinned
+    numbers; re-run any time with `python tools/scale_probe.py`."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "scale_probe.py")],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(out) == {"llm_winnow_pairs", "llm_substring_spans"}
+    for name, m in out.items():
+        assert m["rows_10x"] > 0 and m["rows_30x"] > 0, (name, m)
+        assert m["exponent"] < 1.8, (name, m)
+    # substring spans have no df-cap: more key-shifted copies means
+    # more shingle-sharing spans, so the count must grow.  Winnow's
+    # count FALLS at 30x by design — a fingerprint shared by every
+    # copy of a doc has df ~ factor*5, and WINNOW_MAX_DF=50 drops it
+    # once replication crosses the cap (measured: 38,933 pairs at 10x
+    # -> 3,493 at 30x).  That regime shift IS the scale discipline
+    # under test, so winnow gets only the >0 floor above.
+    assert (
+        out["llm_substring_spans"]["rows_30x"]
+        >= out["llm_substring_spans"]["rows_10x"]
+    ), out["llm_substring_spans"]

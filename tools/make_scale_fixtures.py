@@ -80,11 +80,23 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "fixtures", "sf1"))
     ap.add_argument("--src", default=SRC)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list of tables to generate (default: all) — the "
+        "round-12 scale-exponent probe builds a documents-only dir at "
+        "--factor 30 this way, skipping the fact tables it never reads",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    wanted = set(args.tables.split(",")) if args.tables else {
+        *KEYED, "documents", "publications"
+    }
 
     con = duckdb.connect()
     for table, keys in KEYED.items():
+        if table not in wanted:
+            continue
         src = f"read_parquet('{args.src}/{table}.parquet')"
         if not keys:
             sel = f"SELECT * FROM {src}"
@@ -101,69 +113,73 @@ def main() -> None:
         n = con.sql(f"SELECT count(*) FROM read_parquet('{args.out}/{table}.parquet')").fetchone()[0]
         print(f"{table}: {n} rows")
 
-    # documents: python-side text perturbation (50k rows, trivial)
-    rows = con.sql(
-        f"SELECT doc_id, text, lang, source FROM "
-        f"read_parquet('{args.src}/documents.parquet') ORDER BY doc_id"
-    ).fetchall()
-    out_rows = []
-    for i in range(args.factor):
-        tag = f"copyd{i}"
-        for doc_id, text, lang, source in rows:
-            t = text if i == 0 else tag_text(text, tag)
-            out_rows.append((doc_id + i * STRIDE, t, lang, source, len(t)))
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    cols = list(zip(*out_rows))
-    pq.write_table(
-        pa.table(
-            {"doc_id": pa.array(cols[0], pa.int64()),
-             "text": pa.array(cols[1], pa.string()),
-             "lang": pa.array(cols[2], pa.string()),
-             "source": pa.array(cols[3], pa.string()),
-             "n_chars": pa.array(cols[4], pa.int64())}),
-        f"{args.out}/documents.parquet")
-    print(f"documents: {len(out_rows)} rows")
+    if "documents" in wanted:
+        # documents: python-side text perturbation (50k rows, trivial)
+        rows = con.sql(
+            f"SELECT doc_id, text, lang, source FROM "
+            f"read_parquet('{args.src}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+        out_rows = []
+        for i in range(args.factor):
+            tag = f"copyd{i}"
+            for doc_id, text, lang, source in rows:
+                t = text if i == 0 else tag_text(text, tag)
+                out_rows.append((doc_id + i * STRIDE, t, lang, source, len(t)))
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        cols = list(zip(*out_rows))
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array(cols[0], pa.int64()),
+                 "text": pa.array(cols[1], pa.string()),
+                 "lang": pa.array(cols[2], pa.string()),
+                 "source": pa.array(cols[3], pa.string()),
+                 "n_chars": pa.array(cols[4], pa.int64())}),
+            f"{args.out}/documents.parquet")
+        print(f"documents: {len(out_rows)} rows")
 
-    # publications (DBLP fixture): author/editor names get a per-copy
-    # suffix so the coauthor graph replicates as FACTOR disjoint
-    # components (how a larger DBLP actually behaves); record keys get
-    # a per-copy SUFFIX — venue derivation reads the LEADING key
-    # segments (www kind: first 3 '/'-segments), so the copy tag must
-    # trail the venue-bearing segments for venues to stay shared and
-    # per-venue author counts to grow the way a larger corpus would.
-    pubs_src = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fixtures", "publications.parquet")
-    pub_cols = [c[0] for c in con.sql(
-        f"DESCRIBE SELECT * FROM read_parquet('{pubs_src}')").fetchall()]
+    if "publications" in wanted:
+        # publications (DBLP fixture): author/editor names get a per-copy
+        # suffix so the coauthor graph replicates as FACTOR disjoint
+        # components (how a larger DBLP actually behaves); record keys get
+        # a per-copy SUFFIX — venue derivation reads the LEADING key
+        # segments (www kind: first 3 '/'-segments), so the copy tag must
+        # trail the venue-bearing segments for venues to stay shared and
+        # per-venue author counts to grow the way a larger corpus would.
+        pubs_src = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures", "publications.parquet")
+        pub_cols = [c[0] for c in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{pubs_src}')").fetchall()]
 
-    def pub_select(i: int) -> str:
-        if i == 0:
-            return f"SELECT * FROM read_parquet('{pubs_src}')"
-        exprs = []
-        for c in pub_cols:
-            if c == "key":
-                exprs.append(f"key || '/c{i}' AS key")
-            elif c in ("authors", "editors"):
-                exprs.append(
-                    f"list_transform({c}, x -> x || ' C{i}') AS {c}")
-            else:
-                exprs.append(f'"{c}"')
-        return f"SELECT {', '.join(exprs)} FROM read_parquet('{pubs_src}')"
+        def pub_select(i: int) -> str:
+            if i == 0:
+                return f"SELECT * FROM read_parquet('{pubs_src}')"
+            exprs = []
+            for c in pub_cols:
+                if c == "key":
+                    exprs.append(f"key || '/c{i}' AS key")
+                elif c in ("authors", "editors"):
+                    exprs.append(
+                        f"list_transform({c}, x -> x || ' C{i}') AS {c}")
+                else:
+                    exprs.append(f'"{c}"')
+            return f"SELECT {', '.join(exprs)} FROM read_parquet('{pubs_src}')"
 
-    union = " UNION ALL ".join(pub_select(i) for i in range(args.factor))
-    con.sql(f"COPY ({union}) TO '{args.out}/publications.parquet' (FORMAT parquet)")
-    n = con.sql(
-        f"SELECT count(*) FROM read_parquet('{args.out}/publications.parquet')"
-    ).fetchone()[0]
-    print(f"publications: {n} rows")
+        union = " UNION ALL ".join(pub_select(i) for i in range(args.factor))
+        con.sql(f"COPY ({union}) TO '{args.out}/publications.parquet' (FORMAT parquet)")
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{args.out}/publications.parquet')"
+        ).fetchone()[0]
+        print(f"publications: {n} rows")
 
     # Pin the build's identity (round-4 verdict #8): row count + an
     # order-insensitive content digest per table, asserted by the scale
     # tests so a silently stale fixture dir cannot weaken their checks.
     manifest = {"factor": args.factor, "tables": {}}
     for table in [*KEYED, "documents", "publications"]:
+        if table not in wanted:
+            continue
         n, digest = table_digest(con, f"{args.out}/{table}.parquet")
         manifest["tables"][table] = {"rows": n, "digest": digest}
     with open(os.path.join(args.out, "MANIFEST.json"), "w") as fh:
