@@ -27,7 +27,10 @@ digest from the parquet files on disk and is deliberately NEVER
 cached — runs in the same session and fails loudly on any drift.  Any
 edit to code, oracles, environment, or fixtures changes the key and
 re-runs the full net; unchanged-source re-runs skip straight through,
-exactly the plan-audit gate's contract.  (The sf0.1 union-find replay
+exactly the plan-audit gate's contract.  MEASURED (round 12, quiet
+machine): this file 18m23s cold / 3.3s warm; the full 179-test suite
+4m01s warm vs the 22.4 min of round 10 — per-row cold costs live in
+the generated COSTS.md.  (The sf0.1 union-find replay
 below keys on the same digest; /root/testdata is immutable, matching
 the plan-audit gate's rationale for leaving testdata out of the key.)
 """
