@@ -52,115 +52,9 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 11 (50 rows, freshest — the full predicted window:
-    # the 49 round-8 rows + stream_dedup_parity, all green, row-for-row
-    # as written in the round-11 ledger comment; third consecutive round
-    # the forward prediction held) ---
-    "llm_ann_brute_topk": 11,
-    "llm_ann_ivf": 11,
-    "llm_ann_ivf_trained": 11,
-    "llm_ann_lsh_topk": 11,
-    "llm_ann_pq_trained": 11,
-    "llm_cluster_top_terms": 11,
-    "llm_decontaminate": 11,
-    "llm_decontaminate_semantic": 11,
-    "llm_dedup_clusters": 11,
-    "llm_dedup_embedding": 11,
-    "llm_dedup_exact": 11,
-    "llm_dedup_simhash": 11,
-    "llm_domain_mixture": 11,
-    "llm_fingerprint_rolling": 11,
-    "llm_inverted_index": 11,
-    "llm_kmeans": 11,
-    "llm_langid": 11,
-    "llm_leakage_free_split": 11,
-    "llm_multimodal_features": 11,
-    "llm_multimodal_frames": 11,
-    "llm_multimodal_resize": 11,
-    "llm_ngram_jaccard": 11,
-    "llm_ngram_jaccard_prefix": 11,
-    "llm_pii_scrub": 11,
-    "llm_quality_pandas_udf": 11,
-    "llm_quality_select_approx": 11,
-    "llm_sequence_pack": 11,
-    "llm_substring_spans": 11,
-    "llm_text_stats": 11,
-    "llm_tfidf_top_terms": 11,
-    "llm_token_count_arrow": 11,
-    "llm_winnow_pairs": 11,
-    "llm_zscore_grouped_map": 11,
-    "stream_late_drop_parity": 11,
-    "tpch_scalar_math": 11,
-    "tpch_scalar_string": 11,
-    "tpch_scan_filter_project": 11,
-    "tpch_set_ops_nations": 11,
-    "tpch_sink_csv_roundtrip": 11,
-    "tpch_sink_json_roundtrip": 11,
-    "tpch_sink_orc_roundtrip": 11,
-    "tpch_sink_partitioned_parquet": 11,
-    "tpch_sink_text_ordered": 11,
-    "tpch_stats_agg": 11,
-    "tpch_subquery_correlated": 11,
-    "tpch_subquery_in": 11,
-    "tpch_top3_orders_per_cust": 11,
-    "tpch_window_lag_gap": 11,
-    "tpch_window_running_total": 11,
-    # --- round 9 (49 rows — stalest tier after stream_dedup_parity's
-    # round-11 refresh; fills the first 49 slots of the round-12 window
-    # under the rotation policy) ---
-    "dblp_coauthor_components_star": 9,
-    "dblp_coauthor_triangles": 9,
-    "dblp_pagerank": 9,
-    "dblp_q5_literal_all": 9,
-    "dblp_q5_top_coauthor_volume": 9,
-    "dblp_q6_solo_only_authors": 9,
-    "dblp_xml_ingest": 9,
-    "llm_ann_pq": 9,
-    "llm_bigram_lm_score": 9,
-    "llm_boilerplate_lines": 9,
-    "llm_bpe_encode": 9,
-    "llm_bpe_segment": 9,
-    "llm_bpe_train": 9,
-    "llm_dedup_incremental": 9,
-    "llm_dedup_levenshtein": 9,
-    "llm_dedup_minhash_lsh": 9,
-    "llm_embed_classifier": 9,
-    "llm_hard_negatives": 9,
-    "llm_quality_select": 9,
-    "llm_repetition": 9,
-    "llm_semdedup": 9,
-    "llm_semdedup_scaled": 9,
-    "llm_semdedup_trained": 9,
-    "llm_semdedup_trained_k32": 9,
-    "llm_token_count": 9,
-    "llm_trimmed_mean_grouped_agg": 9,
-    "stream_dedup_parity": 11,
-    "stream_session_parity": 9,
-    "stream_sliding_parity": 9,
-    "stream_stateful_user_stats": 9,
-    "stream_stream_join_parity": 9,
-    "stream_tumbling_parity": 9,
-    "tpch_approx_distinct": 9,
-    "tpch_array_ops": 9,
-    "tpch_asof_cogroup": 9,
-    "tpch_bloom_filter_join": 9,
-    "tpch_cms_heavy_hitters": 9,
-    "tpch_dynamic_partition_pruning": 9,
-    "tpch_events_funnel": 9,
-    "tpch_events_retention": 9,
-    "tpch_events_rollup_hierarchy": 9,
-    "tpch_hash_sample": 9,
-    "tpch_histogram": 9,
-    "tpch_hll_incremental": 9,
-    "tpch_interval_join": 9,
-    "tpch_json_extract": 9,
-    "tpch_lateral_posexplode": 9,
-    "tpch_market_share": 9,
-    "tpch_merge_upsert": 9,
-    "tpch_window_ntile": 9,
-    # --- round 10 (50 rows; the first by surface-risk/name order,
-    # stream_checkpoint_recovery, takes the round-12 window's 50th
-    # slot) ---
+    # --- round 10 (49 rows — stalest tier after
+    # stream_checkpoint_recovery's round-12 refresh; fills the first 49
+    # slots of the round-13 window under the rotation policy) ---
     "dblp_coauthor_components": 10,
     "dblp_coauthor_pairs": 10,
     "dblp_q1_top_authors_per_venue": 10,
@@ -174,7 +68,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_token_rarity": 10,
     "src_python_datasource": 10,
     "src_python_datasource_pruned": 10,
-    "stream_checkpoint_recovery": 10,
     "stream_foreachbatch_sink": 10,
     "stream_transform_with_state_gate": 10,
     "tpch_asof_latest_order": 10,
@@ -211,17 +104,123 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_weighted_sample": 10,
     "tpch_window_range_frame": 10,
     "tpch_zorder_range_scan": 10,
+    # --- round 11 (50 rows; the first by surface-risk/name order,
+    # stream_dedup_parity, takes the round-13 window's 50th slot) ---
+    "llm_ann_brute_topk": 11,
+    "llm_ann_ivf": 11,
+    "llm_ann_ivf_trained": 11,
+    "llm_ann_lsh_topk": 11,
+    "llm_ann_pq_trained": 11,
+    "llm_cluster_top_terms": 11,
+    "llm_decontaminate": 11,
+    "llm_decontaminate_semantic": 11,
+    "llm_dedup_clusters": 11,
+    "llm_dedup_embedding": 11,
+    "llm_dedup_exact": 11,
+    "llm_dedup_simhash": 11,
+    "llm_domain_mixture": 11,
+    "llm_fingerprint_rolling": 11,
+    "llm_inverted_index": 11,
+    "llm_kmeans": 11,
+    "llm_langid": 11,
+    "llm_leakage_free_split": 11,
+    "llm_multimodal_features": 11,
+    "llm_multimodal_frames": 11,
+    "llm_multimodal_resize": 11,
+    "llm_ngram_jaccard": 11,
+    "llm_ngram_jaccard_prefix": 11,
+    "llm_pii_scrub": 11,
+    "llm_quality_pandas_udf": 11,
+    "llm_quality_select_approx": 11,
+    "llm_sequence_pack": 11,
+    "llm_substring_spans": 11,
+    "llm_text_stats": 11,
+    "llm_tfidf_top_terms": 11,
+    "llm_token_count_arrow": 11,
+    "llm_winnow_pairs": 11,
+    "llm_zscore_grouped_map": 11,
+    "stream_dedup_parity": 11,
+    "stream_late_drop_parity": 11,
+    "tpch_scalar_math": 11,
+    "tpch_scalar_string": 11,
+    "tpch_scan_filter_project": 11,
+    "tpch_set_ops_nations": 11,
+    "tpch_sink_csv_roundtrip": 11,
+    "tpch_sink_json_roundtrip": 11,
+    "tpch_sink_orc_roundtrip": 11,
+    "tpch_sink_partitioned_parquet": 11,
+    "tpch_sink_text_ordered": 11,
+    "tpch_stats_agg": 11,
+    "tpch_subquery_correlated": 11,
+    "tpch_subquery_in": 11,
+    "tpch_top3_orders_per_cust": 11,
+    "tpch_window_lag_gap": 11,
+    "tpch_window_running_total": 11,
+    # --- round 12 (50 rows, freshest — the full predicted window:
+    # the 49 round-9 rows + stream_checkpoint_recovery, all green,
+    # row-for-row as written in the round-12 ledger comment; fourth
+    # consecutive round the forward prediction held) ---
+    "dblp_coauthor_components_star": 12,
+    "dblp_coauthor_triangles": 12,
+    "dblp_pagerank": 12,
+    "dblp_q5_literal_all": 12,
+    "dblp_q5_top_coauthor_volume": 12,
+    "dblp_q6_solo_only_authors": 12,
+    "dblp_xml_ingest": 12,
+    "llm_ann_pq": 12,
+    "llm_bigram_lm_score": 12,
+    "llm_boilerplate_lines": 12,
+    "llm_bpe_encode": 12,
+    "llm_bpe_segment": 12,
+    "llm_bpe_train": 12,
+    "llm_dedup_incremental": 12,
+    "llm_dedup_levenshtein": 12,
+    "llm_dedup_minhash_lsh": 12,
+    "llm_embed_classifier": 12,
+    "llm_hard_negatives": 12,
+    "llm_quality_select": 12,
+    "llm_repetition": 12,
+    "llm_semdedup": 12,
+    "llm_semdedup_scaled": 12,
+    "llm_semdedup_trained": 12,
+    "llm_semdedup_trained_k32": 12,
+    "llm_token_count": 12,
+    "llm_trimmed_mean_grouped_agg": 12,
+    "stream_checkpoint_recovery": 12,
+    "stream_session_parity": 12,
+    "stream_sliding_parity": 12,
+    "stream_stateful_user_stats": 12,
+    "stream_stream_join_parity": 12,
+    "stream_tumbling_parity": 12,
+    "tpch_approx_distinct": 12,
+    "tpch_array_ops": 12,
+    "tpch_asof_cogroup": 12,
+    "tpch_bloom_filter_join": 12,
+    "tpch_cms_heavy_hitters": 12,
+    "tpch_dynamic_partition_pruning": 12,
+    "tpch_events_funnel": 12,
+    "tpch_events_retention": 12,
+    "tpch_events_rollup_hierarchy": 12,
+    "tpch_hash_sample": 12,
+    "tpch_histogram": 12,
+    "tpch_hll_incremental": 12,
+    "tpch_interval_join": 12,
+    "tpch_json_extract": 12,
+    "tpch_lateral_posexplode": 12,
+    "tpch_market_share": 12,
+    "tpch_merge_upsert": 12,
+    "tpch_window_ntile": 12,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-12 policy (standing judge directive, round-8
-# verdict item 2, reaffirmed in the round-11 verdict): NO new registry
+# green driver row.  Round-13 policy (standing judge directive, round-8
+# verdict item 2, reaffirmed in the round-12 verdict): NO new registry
 # queries unless a container gate opens, and an empty _CHANGED unless a
 # certified query's implementation or oracle is edited — with both, the
-# round-12 window is exactly the 49 round-9 rows + the first round-10
-# row by surface-risk order (stream_checkpoint_recovery).  Post-fold
-# staleness histogram: 49@r9 / 50@r10 / 50@r11 — every row <=2 rounds
-# stale, the rotation's designed steady state (held for a third round).
+# round-13 window is exactly the 49 round-10 rows + the first round-11
+# row by surface-risk order (stream_dedup_parity).  Post-fold staleness
+# histogram: 49@r10 / 50@r11 / 50@r12 — every row <=2 rounds stale, the
+# rotation's designed steady state (held for a fourth round).
 _CHANGED: list[str] = []
 
 
