@@ -262,17 +262,32 @@ def _scale_net_digest() -> str:
         b = p.read_bytes()
         h.update(str(len(b)).encode() + b"\0")
         h.update(b)
+    # On-disk fixture-byte proxy (round-12 ADVICE): the manifest alone
+    # is only an honest proxy when test_scale_fixtures_match_manifest
+    # runs in the same session, which node selection (-k/one test id)
+    # defeats — an out-of-band parquet edit with an unchanged
+    # MANIFEST.json would then keep serving stale greens.  Folding each
+    # parquet file's size into the key catches any practical rewrite
+    # cheaply (stat only; a same-size byte flip still needs the
+    # never-cached manifest test, which full runs always execute).
+    for p in sorted(Path(SCALE_DIR).glob("*.parquet")):
+        h.update(p.name.encode() + b"\0")
+        h.update(str(p.stat().st_size).encode() + b"\0")
     _DIGEST = h.hexdigest()
     return _DIGEST
 
 
-def _cached_green(request, slot: str) -> bool:
-    """True iff this slot's last green run used byte-identical inputs
-    (digest match).  None-cache (-p no:cacheprovider) → always run."""
+def _skip_if_cached_green(request, slot: str) -> None:
+    """Skip the test iff this slot's last green run used byte-identical
+    inputs (digest match).  None-cache (-p no:cacheprovider) → always
+    run.  A cache hit SKIPS rather than silently passing (round-12
+    ADVICE) so a run's -rs summary shows exactly how much of the net
+    actually executed."""
     cache = getattr(request.config, "cache", None)
-    return cache is not None and (
+    if cache is not None and (
         cache.get(f"scale_correctness/{slot}", None) == _scale_net_digest()
-    )
+    ):
+        pytest.skip("cached green (digest match)")
 
 
 def _mark_green(request, slot: str) -> None:
@@ -293,11 +308,19 @@ def test_scale_fixtures_match_manifest():
     """A stale fixture dir (older generator, partial build) must fail
     loudly, not quietly weaken every scale check below.  Recomputes the
     per-table row count + hash60 digest MANIFEST.json pinned at
-    generation time (tools/make_scale_fixtures.py)."""
+    generation time (tools/make_scale_fixtures.py).  Also asserts the
+    manifest covers the FULL table set (round-12 ADVICE: a --tables
+    subset rebuild used to overwrite the manifest with only the
+    regenerated tables, and this loop — which iterates manifest
+    entries — would then never look at the dropped ones)."""
     from tools.make_scale_fixtures import table_digest
 
     with open(os.path.join(SCALE_DIR, "MANIFEST.json")) as fh:
         manifest = json.load(fh)
+    assert set(manifest["tables"]) == {*TABLES, "publications"}, (
+        "sf1 MANIFEST.json does not pin the full table set — rebuild "
+        "with tools/make_scale_fixtures.py (no --tables subset)"
+    )
     con = duckdb.connect()
     for table, pinned in manifest["tables"].items():
         n, digest = table_digest(con, os.path.join(SCALE_DIR, f"{table}.parquet"))
@@ -310,8 +333,7 @@ def test_scale_fixtures_match_manifest():
 )
 @pytest.mark.parametrize("name", SCALE_QUERIES)
 def test_oracle_holds_at_scale_point(name, request):
-    if _cached_green(request, name):
-        return  # byte-identical inputs, prior green — skip (docstring)
+    _skip_if_cached_green(request, name)
     spark = request.getfixturevalue("spark")  # lazy: cached runs never start Spark
     import __spark_entry__ as entrymod
     from map_reduce_for_dbpl_dataset_spark.sources.parquet import PUBLICATIONS_PATH
@@ -356,8 +378,7 @@ def test_leakage_split_invariant_at_scale(request):
     the 10x fixtures' tagged near-dup structure yields multi-member
     clusters (so the invariant is not vacuous).  The full oracle hash
     runs at sf0.01 in the driver gate."""
-    if _cached_green(request, "leakage_split_contract"):
-        return
+    _skip_if_cached_green(request, "leakage_split_contract")
     spark = request.getfixturevalue("spark")
     import __spark_entry__ as entrymod
 
@@ -389,8 +410,7 @@ def test_levenshtein_contract_at_scale(request):
     threshold-DP + length-band + salted-pair fixes this query did not
     finish at this scale point (>28 min); the test doubles as the
     regression guard for that."""
-    if _cached_green(request, "levenshtein_contract"):
-        return
+    _skip_if_cached_green(request, "levenshtein_contract")
     spark = request.getfixturevalue("spark")
     import __spark_entry__ as entrymod
     from map_reduce_for_dbpl_dataset_spark.queries.pipeline import (
@@ -424,8 +444,7 @@ def test_dedup_clusters_match_union_find_at_scale(request):
     min-id canonical labels, every doc labeled once.  The CC operator
     itself is additionally hash-proven at sf1 via
     dblp_coauthor_components_star in the net above."""
-    if _cached_green(request, "dedup_clusters_union_find_replay"):
-        return
+    _skip_if_cached_green(request, "dedup_clusters_union_find_replay")
     spark = request.getfixturevalue("spark")
     import __spark_entry__ as entrymod
     from map_reduce_for_dbpl_dataset_spark.queries.llm import (

@@ -176,13 +176,46 @@ def main() -> None:
     # Pin the build's identity (round-4 verdict #8): row count + an
     # order-insensitive content digest per table, asserted by the scale
     # tests so a silently stale fixture dir cannot weaken their checks.
+    # With --tables the manifest MERGES into an existing one (round-12
+    # ADVICE: a subset refresh used to overwrite it with only the
+    # regenerated tables, silently dropping the other tables' pins —
+    # and the digest-keyed green cache uses MANIFEST.json as its
+    # fixture-bytes proxy, so the dropped tables' drift became
+    # undetectable).  Factor must match: a mixed-factor dir is not a
+    # coherent scale point.
+    all_tables = [*KEYED, "documents", "publications"]
+    manifest_path = os.path.join(args.out, "MANIFEST.json")
     manifest = {"factor": args.factor, "tables": {}}
-    for table in [*KEYED, "documents", "publications"]:
+    if args.tables and os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            existing = json.load(fh)
+        if existing.get("factor") != args.factor:
+            raise SystemExit(
+                f"refusing to merge into {manifest_path}: existing factor "
+                f"{existing.get('factor')} != --factor {args.factor} "
+                "(a mixed-factor fixture dir is not a coherent scale point)"
+            )
+        manifest["tables"].update(existing.get("tables", {}))
+    for table in all_tables:
         if table not in wanted:
             continue
         n, digest = table_digest(con, f"{args.out}/{table}.parquet")
         manifest["tables"][table] = {"rows": n, "digest": digest}
-    with open(os.path.join(args.out, "MANIFEST.json"), "w") as fh:
+    # Never write a manifest that leaves on-disk parquet unpinned: the
+    # scale tests iterate manifest entries, so an unmanifested table's
+    # drift would be invisible.
+    unpinned = sorted(
+        t for t in all_tables
+        if os.path.exists(f"{args.out}/{t}.parquet")
+        and t not in manifest["tables"]
+    )
+    if unpinned:
+        raise SystemExit(
+            f"refusing to write a partial MANIFEST.json into {args.out}: "
+            f"{unpinned} present on disk but unpinned — rerun without "
+            "--tables, or include them"
+        )
+    with open(manifest_path, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
     print(f"MANIFEST.json: {len(manifest['tables'])} tables")
 

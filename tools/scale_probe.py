@@ -16,8 +16,8 @@ with it pair-stage work — grows the way a genuinely larger corpus
 grows, not quadratically as exact duplication would).  An exponent
 near 1 means the pair stage costs linearly in corpus size; 2 would
 mean the candidate join degraded to all-pairs.  The probe times the
-full query plan with the noop sink (no driver collect), best-of-N at
-the 10x point and a single warmed run at the 30x point, and checks
+full query plan with a ``.count()`` endpoint (no driver collect of
+row data), best-of-2 at both scale points, and checks
 rows only — the 10x point's full oracle-hash identity lives in
 tests/test_scale_correctness.py.  Row-count expectations differ by
 query: substring spans have no df-cap, so more key-shifted copies
@@ -27,7 +27,15 @@ doc reaches df ~ factor*5 and WINNOW_MAX_DF=50 drops it once
 replication crosses the cap — that regime shift is exactly the
 hot-key discipline the probe exists to exercise.
 
-MEASURED (round 12, local[32], fixtures built, session warmed):
+Timing endpoint (changed round 13, round-12 ADVICE): ``.count()`` on
+the full plan, best-of-2 at BOTH scale points — the old shape (noop
+sink + a separate untimed .count() per point for rows) re-executed
+each heavy query twice extra just to count rows, and its single timed
+30x run vs best-of-2 at 10x biased the exponent upward one-sidedly.
+Endpoints differ by one final agg; the exponent is a ratio, so the
+change cancels, but compare raw seconds only within an endpoint era.
+
+MEASURED (round 12, noop endpoint, local[32], fixtures built, warmed):
 
     llm_substring_spans  t_10x 6.89 s  t_30x 15.74 s  ratio 2.28
                          exponent 0.75   rows 2,328 -> 6,988
@@ -94,13 +102,22 @@ def main() -> None:
     spark = get_spark("scale-probe")
     qs = entrymod.queries()
 
-    def timed(name: str, sf_dir: str, n_runs: int) -> float:
-        best = float("inf")
+    def timed(name: str, sf_dir: str, n_runs: int) -> tuple[float, int]:
+        """Best-of-N full-plan execution with ``.count()`` as the
+        endpoint, returning (seconds, rows).  Round-12 ADVICE: the old
+        shape (noop-sink timing + separate .count() for rows) re-ran
+        each heavy query once more per scale point just to count rows
+        (~2 min extra for winnow alone), and its single 30x run vs
+        best-of-2 at 10x biased the exponent upward on a noisy machine.
+        ``.count()`` on these computed plans executes the same joins /
+        aggregations the noop sink did (no metadata shortcut exists for
+        a non-scan plan), and both points now take best-of-N."""
+        best, rows = float("inf"), -1
         for _ in range(n_runs):
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rows = qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
-        return round(best, 2)
+        return round(best, 2), rows
 
     # warm the session + parquet datasource so the first timed run
     # doesn't absorb init cost (same rationale as bench.py)
@@ -109,10 +126,8 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for name in PROBE_QUERIES:
-        t10 = timed(name, SF1_DIR, 2)
-        t30 = timed(name, SF30_DIR, 1)
-        rows10 = qs[name](spark, SF1_DIR).count()
-        rows30 = qs[name](spark, SF30_DIR).count()
+        t10, rows10 = timed(name, SF1_DIR, 2)
+        t30, rows30 = timed(name, SF30_DIR, 2)
         out[name] = {
             "t_10x_sec": t10,
             "t_30x_sec": t30,
