@@ -540,19 +540,24 @@ def test_zipf_spectrum_top_k_per_group(spark):
     reason="opt-in (round-11 verdict item 7): set SPARK_GRAFT_SCALE_PROBE=1",
 )
 def test_pair_stage_scaling_exponent():
-    """Opt-in 30x scale-exponent probe for the two heaviest
-    spread_for_pair_join callers (round-11 verdict item 7): runs
-    tools/scale_probe.py in its own subprocess (own local[N] session —
-    the probe measures throughput, so it must not inherit this suite's
-    deliberately small cpus=4 session), which times llm_winnow_pairs
-    and llm_substring_spans at the 10x (fixtures/sf1) and 30x
-    documents-only (fixtures/sf3docs) key-shift points and reports
-    exponent = log(t_30x/t_10x)/log(3).  Asserts every exponent < 1.8
-    — the red line between "subquadratic with noise headroom" and "the
-    spread/candidate discipline regressed to all-pairs" (exponent 2).
-    MEASURED (round 12, local[32], best-of-2 at 10x / warmed single
-    run at 30x): see tools/scale_probe.py's docstring for the pinned
-    numbers; re-run any time with `python tools/scale_probe.py`."""
+    """Opt-in 30x scale-exponent probe for the pair-stage champions
+    (round-11 verdict item 7; the two SemDeDup subjects added round 13
+    per round-12 item 6): runs tools/scale_probe.py in its own
+    subprocess (own local[N] session — the probe measures throughput,
+    so it must not inherit this suite's deliberately small cpus=4
+    session), which times each subject at the 10x (fixtures/sf1) and
+    30x single-table key-shift points and reports
+    exponent = log(t_30x/t_10x)/log(3).  Asserts every exponent stays
+    under ITS OWN red line (carried in the probe output): 1.8 for the
+    subquadratic claims (spread_for_pair_join text pairs + the
+    K=isqrt(N) SemDeDup operating point, whose pair work is ~N^1.5),
+    2.1 for the frozen-K=32 SemDeDup control whose pair work grows
+    x factor^2 BY CONSTRUCTION (vectors replicate verbatim, so
+    clusters scale exactly x factor) — there the claim is that the
+    salted pair stage tracks the predicted sum-cluster^2 work rather
+    than degrading beyond it.  MEASURED: see tools/scale_probe.py's
+    docstring for the pinned numbers per endpoint era; re-run any
+    time with `python tools/scale_probe.py`."""
     import json
     import subprocess
     import sys
@@ -567,11 +572,13 @@ def test_pair_stage_scaling_exponent():
         timeout=3600,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
+    from tools.scale_probe import PROBE_QUERIES
+
     out = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert set(out) == {"llm_winnow_pairs", "llm_substring_spans"}
+    assert set(out) == set(PROBE_QUERIES)
     for name, m in out.items():
         assert m["rows_10x"] > 0 and m["rows_30x"] > 0, (name, m)
-        assert m["exponent"] < 1.8, (name, m)
+        assert m["exponent"] < m["red_line"], (name, m)
     # substring spans have no df-cap: more key-shifted copies means
     # more shingle-sharing spans, so the count must grow.  Winnow's
     # count FALLS at 30x by design — a fingerprint shared by every

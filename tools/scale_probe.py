@@ -1,12 +1,11 @@
-"""Scale-exponent probe for the two pair-stage champions (round-11
-verdict item 7): measure how ``llm_winnow_pairs`` and
-``llm_substring_spans`` — the repo's two heaviest
-``spread_for_pair_join`` callers — actually scale between the 10x
-point (fixtures/sf1) and a 30x documents-only point
-(fixtures/sf3docs, built on first use by tools/make_scale_fixtures.py
-with ``--factor 30 --tables documents`` — both queries read only the
-documents table), turning the "subquadratic" claim the bench slots
-track into a measured exponent:
+"""Scale-exponent probe for the pair-stage champions (round-11
+verdict item 7; semdedup pair added round 13 per round-12 item 6):
+measure how each subject actually scales between the 10x point
+(fixtures/sf1) and a 30x single-table point (documents-only
+fixtures/sf3docs for the text pair, embeddings-only fixtures/sf3emb
+for the semdedup pair — each query reads only that table; both built
+on first use by tools/make_scale_fixtures.py with ``--factor 30
+--tables <table>``), turning scaling claims into measured exponents:
 
     exponent = log(t_30x / t_10x) / log(3)
 
@@ -16,8 +15,8 @@ with it pair-stage work — grows the way a genuinely larger corpus
 grows, not quadratically as exact duplication would).  An exponent
 near 1 means the pair stage costs linearly in corpus size; 2 would
 mean the candidate join degraded to all-pairs.  The probe times the
-full query plan with a ``.count()`` endpoint (no driver collect of
-row data), best-of-2 at both scale points, and checks
+full query plan with the noop sink (no driver collect), best-of-2 at
+both scale points after a per-point warmup, and checks
 rows only — the 10x point's full oracle-hash identity lives in
 tests/test_scale_correctness.py.  Row-count expectations differ by
 query: substring spans have no df-cap, so more key-shifted copies
@@ -27,30 +26,81 @@ doc reaches df ~ factor*5 and WINNOW_MAX_DF=50 drops it once
 replication crosses the cap — that regime shift is exactly the
 hot-key discipline the probe exists to exercise.
 
-Timing endpoint (changed round 13, round-12 ADVICE): ``.count()`` on
-the full plan, best-of-2 at BOTH scale points — the old shape (noop
-sink + a separate untimed .count() per point for rows) re-executed
-each heavy query twice extra just to count rows, and its single timed
-30x run vs best-of-2 at 10x biased the exponent upward one-sidedly.
-Endpoints differ by one final agg; the exponent is a ratio, so the
-change cancels, but compare raw seconds only within an endpoint era.
+Timing shape (changed round 13, round-12 ADVICE): the per-point
+``.count()`` that produces the row numbers now runs FIRST, doubling
+as the warmup run, and the timed noop-sink runs are best-of-2 at BOTH
+scale points — the old single timed 30x run vs best-of-2 at 10x
+biased the exponent upward one-sidedly.  The ADVICE's other
+suggestion — timing ``.count()`` itself as the endpoint — is UNSOUND
+here and deliberately not taken: Catalyst eliminates row-preserving
+subtrees under a bare count, and semdedup's final LEFT join against a
+distinct-keyed side is exactly that shape — its count plan carries
+zero joins (measured at the 30x point: count 5.7 s vs noop 26 s; the
+count skipped the salted pair stage this probe exists to measure).
 
-MEASURED (round 12, noop endpoint, local[32], fixtures built, warmed):
+MEASURED (round 12, noop endpoint, single timed 30x run, local[32]):
 
     llm_substring_spans  t_10x 6.89 s  t_30x 15.74 s  ratio 2.28
                          exponent 0.75   rows 2,328 -> 6,988
     llm_winnow_pairs     t_10x 31.79 s  t_30x 87.79 s  ratio 2.76
                          exponent 0.92   rows 38,933 -> 3,493
 
-Both exponents are ~linear-in-corpus — the subquadratic claim the
-bench slots track, now a measured number (an all-pairs regression
-would read 2.0).  Treat reruns per bench.py's noise notes; the
-wrapper's red line is 1.8, far above both measurements.
+MEASURED (round 13, noop endpoint, count-first warmup + best-of-2 at
+both points, local[32]):
+
+    llm_substring_spans       t_10x  7.53 s  t_30x 17.27 s  ratio 2.29
+                              exponent 0.76   rows 2,328 -> 6,988
+    llm_winnow_pairs          t_10x 35.79 s  t_30x 78.31 s  ratio 2.19
+                              exponent 0.71   rows 38,933 -> 3,493
+    llm_semdedup_trained_k32  t_10x  7.09 s  t_30x 26.67 s  ratio 3.76
+                              exponent 1.21   rows 20,020 -> 60,020
+    llm_semdedup_scaled       t_10x  6.03 s  t_30x 12.57 s  ratio 2.08
+                              exponent 0.67   rows 20,020 -> 60,020
+
+Probe noise band (round-12 item 7 — second data point): across the
+two rounds the spans exponent moved 0.75 -> 0.76 (±0.01) and winnow
+0.92 -> 0.71 (-0.21, in exactly the direction the round-13
+warmup/best-of-2 fix predicts — the old single cold 30x run
+overcounted).  Treat exponent deltas under ~0.2 as probe noise /
+methodology; every red line sits >= 0.6 above its measurement.
+
+The text-pair exponents are ~linear-in-corpus — the subquadratic
+claim the bench slots track, measured (all-pairs would read 2.0).
+The SemDeDup pair is the scaling law measured at identical points:
+frozen K=32 reads 1.21 (under its by-construction 2.0 pair-work
+exponent — the salted stage tracks the predicted sum-cluster^2 work,
+diluted by the linear train/assign share, with no degradation beyond
+it), while the K=isqrt(N) rule reads 0.67 — scaling K with the
+corpus buys back ~half an exponent at these points, exactly the
+regime the operating-point variant exists for.
+
+The two SemDeDup subjects (round-12 verdict item 6 — the one pair
+stage whose salted sum-cluster^2 claim was argued, not measured) have
+DIFFERENT predicted exponents, so each probe entry carries its own
+red line:
+
+- ``llm_semdedup_trained_k32`` — the frozen-K control.  The scale
+  fixtures key-shift-replicate embedding VECTORS verbatim (only
+  vec_id shifts), so cell assignment is identical per copy, every
+  cluster grows exactly x factor, and within-cluster pair work
+  (sum cluster^2) grows exactly x factor^2: the pair-count exponent
+  between the 10x and 30x points is 2.0 BY CONSTRUCTION.  The claim
+  under test is that the salted (cluster, _salt) shuffle_hash pair
+  stage's wall-clock TRACKS that predicted pair work instead of
+  degrading beyond it (hot-key serialization, broadcast flip) — red
+  line 2.1 = the 2.0 pair-work exponent + noise margin; a measurement
+  below 2.0 is the linear train/assign share diluting the quadratic
+  term.  This is the measured demonstration of WHY K must scale with
+  the corpus (the scaling-law comment in queries/pipeline.py).
+- ``llm_semdedup_scaled`` — the operating point that rule picks:
+  K = clamp(isqrt(N)) moves 141 -> 244 across the two points, so
+  pair work ~ N^2/K ~ N^1.5; red line 1.8, the same subquadratic
+  line the text-pair subjects carry.
 
 Printed JSON is consumed by tests/test_scale_stress.py's opt-in
 wrapper (SPARK_GRAFT_SCALE_PROBE=1), which asserts every measured
-exponent stays under 1.8 — a red line between "subquadratic with
-noise headroom" and "the spread/candidate discipline regressed".
+exponent stays under ITS OWN red line — the gap between "scaling as
+designed, with noise headroom" and "the pair discipline regressed".
 
 Usage:  python tools/scale_probe.py
 """
@@ -69,8 +119,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF1_DIR = os.path.join(REPO, "fixtures", "sf1")
-SF30_DIR = os.path.join(REPO, "fixtures", "sf3docs")
-PROBE_QUERIES = ["llm_substring_spans", "llm_winnow_pairs"]
+SF30_DOCS_DIR = os.path.join(REPO, "fixtures", "sf3docs")
+SF30_EMB_DIR = os.path.join(REPO, "fixtures", "sf3emb")
+
+# name -> (30x fixture dir, its single table, red-line exponent for
+# the wrapper test — rationale per subject in the module docstring)
+PROBE_QUERIES: dict[str, tuple[str, str, float]] = {
+    "llm_substring_spans": (SF30_DOCS_DIR, "documents", 1.8),
+    "llm_winnow_pairs": (SF30_DOCS_DIR, "documents", 1.8),
+    "llm_semdedup_trained_k32": (SF30_EMB_DIR, "embeddings", 2.1),
+    "llm_semdedup_scaled": (SF30_EMB_DIR, "embeddings", 1.8),
+}
 
 
 def ensure_fixture(out_dir: str, factor: int, tables: str | None) -> None:
@@ -93,7 +152,8 @@ def ensure_fixture(out_dir: str, factor: int, tables: str | None) -> None:
 
 def main() -> None:
     ensure_fixture(SF1_DIR, 10, None)
-    ensure_fixture(SF30_DIR, 30, "documents")
+    for sf30_dir, table, _ in set(PROBE_QUERIES.values()):
+        ensure_fixture(sf30_dir, 30, table)
 
     from map_reduce_for_dbpl_dataset_spark.session import get_spark
 
@@ -103,31 +163,36 @@ def main() -> None:
     qs = entrymod.queries()
 
     def timed(name: str, sf_dir: str, n_runs: int) -> tuple[float, int]:
-        """Best-of-N full-plan execution with ``.count()`` as the
-        endpoint, returning (seconds, rows).  Round-12 ADVICE: the old
-        shape (noop-sink timing + separate .count() for rows) re-ran
-        each heavy query once more per scale point just to count rows
-        (~2 min extra for winnow alone), and its single 30x run vs
-        best-of-2 at 10x biased the exponent upward on a noisy machine.
-        ``.count()`` on these computed plans executes the same joins /
-        aggregations the noop sink did (no metadata shortcut exists for
-        a non-scan plan), and both points now take best-of-N."""
-        best, rows = float("inf"), -1
+        """(best-of-N noop-sink seconds, rows) for one query at one
+        scale point.  The TIMED endpoint must be the noop sink, never
+        ``.count()``: Catalyst eliminates row-preserving subtrees under
+        a bare count — semdedup ends in a LEFT join against a
+        distinct-keyed side, and its count plan contains ZERO joins
+        (measured at the 30x point: count 5.7 s vs noop 26 s — the
+        count was skipping the pair stage this probe exists to
+        measure).  Rows still come from one ``.count()`` per point
+        (exact regardless of that elimination, and it runs FIRST so it
+        doubles as the warmup run the round-12 ADVICE asked for); the
+        timed noop runs are best-of-N at BOTH points, fixing the same
+        ADVICE's one-sided 30x noise bias."""
+        rows = qs[name](spark, sf_dir).count()  # rows + per-point warmup
+        best = float("inf")
         for _ in range(n_runs):
             t0 = time.time()
-            rows = qs[name](spark, sf_dir).count()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         return round(best, 2), rows
 
     # warm the session + parquet datasource so the first timed run
     # doesn't absorb init cost (same rationale as bench.py)
     spark.read.parquet(os.path.join(SF1_DIR, "documents.parquet")).count()
-    spark.read.parquet(os.path.join(SF30_DIR, "documents.parquet")).count()
+    for sf30_dir, table, _ in set(PROBE_QUERIES.values()):
+        spark.read.parquet(os.path.join(sf30_dir, f"{table}.parquet")).count()
 
     out: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
+    for name, (sf30_dir, _table, red_line) in PROBE_QUERIES.items():
         t10, rows10 = timed(name, SF1_DIR, 2)
-        t30, rows30 = timed(name, SF30_DIR, 2)
+        t30, rows30 = timed(name, sf30_dir, 2)
         out[name] = {
             "t_10x_sec": t10,
             "t_30x_sec": t30,
@@ -135,6 +200,7 @@ def main() -> None:
             "exponent": round(math.log(t30 / t10) / math.log(3), 2),
             "rows_10x": rows10,
             "rows_30x": rows30,
+            "red_line": red_line,
         }
         print(f"{name}: {out[name]}", file=sys.stderr, flush=True)
 
