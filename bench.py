@@ -64,6 +64,15 @@ slots fell with the scan yardstick — and read a headline delta as
 environmental iff each slot's move tracks its own shape's yardstick;
 a slot moving AGAINST its shape's calibration (or far beyond it) on
 an unchanged plan is the real-regression signal worth investigating.
+
+R12 SWING DISAMBIGUATED (round-12 verdict item 3; the r13 in-round
+plan-identical run decided it): the r12 sf1 elevation did NOT sustain
+— bigram_floor_sec_sf1 read 3.78 (r10) / 3.77 (r11) / 4.52 (r12) /
+3.54 (r13), and the CPU-bound text/pair slots that rose with the
+floor in r12 all came back with it (winnow -10%, bpe_encode -18%,
+semdedup_k32 -13%, jaccard_prefix -12%; sf1 total 96.6 -> 90.9 s) —
+so r12 was environment, the r8 precedent in the adverse direction,
+and the r6-r11 noise-band text above stands unchanged.
 """
 
 from __future__ import annotations
