@@ -57,12 +57,17 @@ both points, local[32]):
     llm_semdedup_scaled       t_10x  6.03 s  t_30x 12.57 s  ratio 2.08
                               exponent 0.67   rows 20,020 -> 60,020
 
-Probe noise band (round-12 item 7 — second data point): across the
-two rounds the spans exponent moved 0.75 -> 0.76 (±0.01) and winnow
-0.92 -> 0.71 (-0.21, in exactly the direction the round-13
-warmup/best-of-2 fix predicts — the old single cold 30x run
-overcounted).  Treat exponent deltas under ~0.2 as probe noise /
-methodology; every red line sits >= 0.6 above its measurement.
+Probe noise band (round-12 item 7 — second data point, plus a
+same-methodology replicate): vs round 12 the spans exponent moved
+0.75 -> 0.76 (±0.01) and winnow 0.92 -> 0.71 (-0.21, in exactly the
+direction the round-13 warmup/best-of-2 fix predicts — the old
+single cold 30x run overcounted).  Two back-to-back round-13 runs of
+the SAME methodology on a quiet machine read spans 0.76/0.81, winnow
+0.71/0.78, k32 1.21/1.41, scaled 0.67/0.73 — the frozen-K control
+spreads widest (its quadratic 30x pair stage is the most
+load-sensitive slot).  Treat exponent deltas under ~0.2 as probe
+noise; every red line sits >= 0.6 above the worse of its two
+measurements.
 
 The text-pair exponents are ~linear-in-corpus — the subquadratic
 claim the bench slots track, measured (all-pairs would read 2.0).
