@@ -52,60 +52,9 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 10 (49 rows — stalest tier after
-    # stream_checkpoint_recovery's round-12 refresh; fills the first 49
-    # slots of the round-13 window under the rotation policy) ---
-    "dblp_coauthor_components": 10,
-    "dblp_coauthor_pairs": 10,
-    "dblp_q1_top_authors_per_venue": 10,
-    "dblp_q2_consecutive_years": 10,
-    "dblp_q2_literal_dupreset": 10,
-    "dblp_q3_solo_titles_per_venue": 10,
-    "dblp_q4_max_authors_per_venue": 10,
-    "llm_chunk_overlap": 10,
-    "llm_corpus_shuffle": 10,
-    "llm_mixture_sample": 10,
-    "llm_token_rarity": 10,
-    "src_python_datasource": 10,
-    "src_python_datasource_pruned": 10,
-    "stream_foreachbatch_sink": 10,
-    "stream_transform_with_state_gate": 10,
-    "tpch_asof_latest_order": 10,
-    "tpch_bucketed_join": 10,
-    "tpch_case_tiers": 10,
-    "tpch_cube_lineitem": 10,
-    "tpch_distinct_agg": 10,
-    "tpch_events_session": 10,
-    "tpch_events_sliding": 10,
-    "tpch_events_tumbling": 10,
-    "tpch_grouping_sets": 10,
-    "tpch_join_anti": 10,
-    "tpch_join_full_outer": 10,
-    "tpch_join_left_order_counts": 10,
-    "tpch_join_nonequi": 10,
-    "tpch_join_range_bands": 10,
-    "tpch_join_semi": 10,
-    "tpch_map_ops": 10,
-    "tpch_null_semantics": 10,
-    "tpch_percentiles": 10,
-    "tpch_pivot_status": 10,
-    "tpch_pricing_summary": 10,
-    "tpch_revenue_by_nation": 10,
-    "tpch_rollup_orders": 10,
-    "tpch_salted_agg": 10,
-    "tpch_salted_join": 10,
-    "tpch_scalar_date": 10,
-    "tpch_sql_api_top_spenders": 10,
-    "tpch_subquery_not_exists": 10,
-    "tpch_udtf_series": 10,
-    "tpch_union_by_name": 10,
-    "tpch_unpivot_melt": 10,
-    "tpch_variant_json": 10,
-    "tpch_weighted_sample": 10,
-    "tpch_window_range_frame": 10,
-    "tpch_zorder_range_scan": 10,
-    # --- round 11 (50 rows; the first by surface-risk/name order,
-    # stream_dedup_parity, takes the round-13 window's 50th slot) ---
+    # --- round 11 (49 rows — stalest tier after stream_dedup_parity's
+    # round-13 refresh; fills the first 49 slots of the round-14 window
+    # under the rotation policy) ---
     "llm_ann_brute_topk": 11,
     "llm_ann_ivf": 11,
     "llm_ann_ivf_trained": 11,
@@ -139,7 +88,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_token_count_arrow": 11,
     "llm_winnow_pairs": 11,
     "llm_zscore_grouped_map": 11,
-    "stream_dedup_parity": 11,
     "stream_late_drop_parity": 11,
     "tpch_scalar_math": 11,
     "tpch_scalar_string": 11,
@@ -156,10 +104,9 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 11,
     "tpch_window_lag_gap": 11,
     "tpch_window_running_total": 11,
-    # --- round 12 (50 rows, freshest — the full predicted window:
-    # the 49 round-9 rows + stream_checkpoint_recovery, all green,
-    # row-for-row as written in the round-12 ledger comment; fourth
-    # consecutive round the forward prediction held) ---
+    # --- round 12 (50 rows; the first by surface-risk/name order,
+    # stream_checkpoint_recovery, takes the round-14 window's 50th
+    # slot) ---
     "dblp_coauthor_components_star": 12,
     "dblp_coauthor_triangles": 12,
     "dblp_pagerank": 12,
@@ -210,17 +157,71 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_market_share": 12,
     "tpch_merge_upsert": 12,
     "tpch_window_ntile": 12,
+    # --- round 13 (50 rows, freshest — the full predicted window:
+    # the 49 round-10 rows + stream_dedup_parity, all green,
+    # row-for-row as written in the round-13 ledger comment; fifth
+    # consecutive round the forward prediction held) ---
+    "dblp_coauthor_components": 13,
+    "dblp_coauthor_pairs": 13,
+    "dblp_q1_top_authors_per_venue": 13,
+    "dblp_q2_consecutive_years": 13,
+    "dblp_q2_literal_dupreset": 13,
+    "dblp_q3_solo_titles_per_venue": 13,
+    "dblp_q4_max_authors_per_venue": 13,
+    "llm_chunk_overlap": 13,
+    "llm_corpus_shuffle": 13,
+    "llm_mixture_sample": 13,
+    "llm_token_rarity": 13,
+    "src_python_datasource": 13,
+    "src_python_datasource_pruned": 13,
+    "stream_dedup_parity": 13,
+    "stream_foreachbatch_sink": 13,
+    "stream_transform_with_state_gate": 13,
+    "tpch_asof_latest_order": 13,
+    "tpch_bucketed_join": 13,
+    "tpch_case_tiers": 13,
+    "tpch_cube_lineitem": 13,
+    "tpch_distinct_agg": 13,
+    "tpch_events_session": 13,
+    "tpch_events_sliding": 13,
+    "tpch_events_tumbling": 13,
+    "tpch_grouping_sets": 13,
+    "tpch_join_anti": 13,
+    "tpch_join_full_outer": 13,
+    "tpch_join_left_order_counts": 13,
+    "tpch_join_nonequi": 13,
+    "tpch_join_range_bands": 13,
+    "tpch_join_semi": 13,
+    "tpch_map_ops": 13,
+    "tpch_null_semantics": 13,
+    "tpch_percentiles": 13,
+    "tpch_pivot_status": 13,
+    "tpch_pricing_summary": 13,
+    "tpch_revenue_by_nation": 13,
+    "tpch_rollup_orders": 13,
+    "tpch_salted_agg": 13,
+    "tpch_salted_join": 13,
+    "tpch_scalar_date": 13,
+    "tpch_sql_api_top_spenders": 13,
+    "tpch_subquery_not_exists": 13,
+    "tpch_udtf_series": 13,
+    "tpch_union_by_name": 13,
+    "tpch_unpivot_melt": 13,
+    "tpch_variant_json": 13,
+    "tpch_weighted_sample": 13,
+    "tpch_window_range_frame": 13,
+    "tpch_zorder_range_scan": 13,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-13 policy (standing judge directive, round-8
-# verdict item 2, reaffirmed in the round-12 verdict): NO new registry
+# green driver row.  Round-14 policy (standing judge directive, round-8
+# verdict item 2, reaffirmed in the round-13 verdict): NO new registry
 # queries unless a container gate opens, and an empty _CHANGED unless a
 # certified query's implementation or oracle is edited — with both, the
-# round-13 window is exactly the 49 round-10 rows + the first round-11
-# row by surface-risk order (stream_dedup_parity).  Post-fold staleness
-# histogram: 49@r10 / 50@r11 / 50@r12 — every row <=2 rounds stale, the
-# rotation's designed steady state (held for a fourth round).
+# round-14 window is exactly the 49 round-11 rows + the first round-12
+# row by surface-risk order (stream_checkpoint_recovery).  Post-fold
+# staleness histogram: 49@r11 / 50@r12 / 50@r13 — every row <=2 rounds
+# stale, the rotation's designed steady state (held for a fifth round).
 _CHANGED: list[str] = []
 
 
