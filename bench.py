@@ -68,11 +68,39 @@ an unchanged plan is the real-regression signal worth investigating.
 R12 SWING DISAMBIGUATED (round-12 verdict item 3; the r13 in-round
 plan-identical run decided it): the r12 sf1 elevation did NOT sustain
 — bigram_floor_sec_sf1 read 3.78 (r10) / 3.77 (r11) / 4.52 (r12) /
-3.54 (r13), and the CPU-bound text/pair slots that rose with the
-floor in r12 all came back with it (winnow -10%, bpe_encode -18%,
-semdedup_k32 -13%, jaccard_prefix -12%; sf1 total 96.6 -> 90.9 s) —
-so r12 was environment, the r8 precedent in the adverse direction,
-and the r6-r11 noise-band text above stands unchanged.
+3.54 (r13 in-round) / 4.02 (r13 driver), and the CPU-bound text/pair
+slots that rose with the floor in r12 all came back in the in-round
+control (winnow -10%, bpe_encode -18%, semdedup_k32 -13%,
+jaccard_prefix -12%; sf1 total 96.6 -> 90.9 s) — so r12 was
+environment, the r8 precedent in the adverse direction.
+
+SF1-SPECIFIC NOISE BAND (round-13 verdict item 2 — the driver's
+official BENCH_r13, recorded ~50 min after the in-round control on a
+byte-identical plan, landed at sf1 total 105.9 s / floor 4.024 with
+dblp_coauthor_components_star at 8.71 s, 2.05x its r10-r12 band of
+3.68-4.58 s, tpch_window_ntile ~2x its 1.04-1.15 band,
+semdedup_trained_k32 +44%, bigram_lm_score +22% — all on FLAT
+calibrations, shuffle 0.749 vs r12's 0.745 and scan_sf1 0.378 vs
+r10's 0.383): the five plan-identical sf1 totals now read
+87.5 / 82.6 / 96.6 / 90.9 / 105.9 — spread +/-12% around the ~92.7 s
+mean, with single iterative/checkpoint-heavy (components_star) and
+windowed-global-sort (ntile) slots swinging up to ~2x (+/-100%).
+Note these observations are all ALREADY best-of-2 per slot
+(SPARK_GRAFT_BENCH_RUNS defaults to 2 and the sf1 pass inherits it
+via SPARK_GRAFT_BENCH_RUNS_SCALE; the emitted "bench_runs" /
+"bench_runs_scale" keys record the counts actually used), so adding
+runs does not close the band — co-tenancy at the sf1 memory/spill
+working-set size hits both executions of a slot alike.  ATTRIBUTION
+RULE CAVEAT AT SF1: the rule below ("a slot moving far beyond its
+shape's yardstick on an unchanged plan is the real-regression
+signal") FALSE-ALARMS at sf1 for the iterative/window shapes — both
+calibrations stayed flat while components_star doubled on a provably
+unchanged plan.  At sf1, judge a slot against the MULTI-ROUND
+plan-identical band above (total +/-12%, single iterative/window
+slots up to 2x), not against the previous round or the calibration
+slots alone; only investigate an sf1 slot that (a) leaves its
+multi-round band AND (b) moves the same direction in the sf0.1 suite,
+where the r6-r11 +/-10%-normalized band still governs.
 """
 
 from __future__ import annotations
@@ -302,6 +330,9 @@ def main() -> None:
         "bigram_floor_sec": time_bigram_floor(sf_dir, runs),
         # scan-shaped environment yardstick (see time_scan_calibration)
         "calibration_scan_sec": time_scan_calibration(sf_dir, runs),
+        # best-of-N count actually used, so cross-round variance
+        # debates (module docstring, sf1 band) know the run count
+        "bench_runs": runs,
     }
 
     # second scale point: ~10x key-shift-replicated fixtures (built on
@@ -351,6 +382,7 @@ def main() -> None:
                 "sf1_lineitem_rows": spark.read.parquet(
                     os.path.join(scale_dir, "lineitem.parquet")
                 ).count(),
+                "bench_runs_scale": scale_runs,
             }
             out.update(sf1_out)
         except Exception as exc:  # degrade to the primary-only JSON line
