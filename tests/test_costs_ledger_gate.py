@@ -25,6 +25,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tools"))
+# tests/ too: `from test_scale_correctness import ...` below otherwise
+# resolves only under pytest's prepend import mode (round-13 ADVICE) —
+# with --import-mode=importlib, or imported outside pytest, it fails.
+sys.path.insert(0, str(REPO / "tests"))
 
 _ROW = re.compile(r"^\| `([a-z0-9_]+)` \|")
 

@@ -88,10 +88,19 @@ def main() -> None:
         "--factor 30 this way, skipping the fact tables it never reads",
     )
     args = ap.parse_args()
+    known = {*KEYED, "documents", "publications"}
+    wanted = set(args.tables.split(",")) if args.tables else known
+    # Fail loudly on a typo'd table name (round-13 ADVICE): an unknown
+    # name would otherwise silently generate nothing and could stamp an
+    # empty-but-valid MANIFEST.json into a fresh dir, deferring the
+    # failure to a confusing downstream parquet-read error in the probe.
+    unknown = wanted - known
+    if unknown:
+        raise SystemExit(
+            f"unknown --tables value(s) {sorted(unknown)}; "
+            f"known tables: {sorted(known)}"
+        )
     os.makedirs(args.out, exist_ok=True)
-    wanted = set(args.tables.split(",")) if args.tables else {
-        *KEYED, "documents", "publications"
-    }
 
     con = duckdb.connect()
     for table, keys in KEYED.items():

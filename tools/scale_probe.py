@@ -179,14 +179,17 @@ def main() -> None:
         (exact regardless of that elimination, and it runs FIRST so it
         doubles as the warmup run the round-12 ADVICE asked for); the
         timed noop runs are best-of-N at BOTH points, fixing the same
-        ADVICE's one-sided 30x noise bias."""
+        ADVICE's one-sided 30x noise bias.  Returns FULL-precision
+        seconds (round-13 ADVICE): rounding to 2 decimals here fed the
+        exponent quantized inputs (+/-0.005 s on a ~6 s point shifts
+        the exponent by ~0.01) — round only in the emitted JSON."""
         rows = qs[name](spark, sf_dir).count()  # rows + per-point warmup
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        return round(best, 2), rows
+        return best, rows
 
     # warm the session + parquet datasource so the first timed run
     # doesn't absorb init cost (same rationale as bench.py)
@@ -199,8 +202,8 @@ def main() -> None:
         t10, rows10 = timed(name, SF1_DIR, 2)
         t30, rows30 = timed(name, sf30_dir, 2)
         out[name] = {
-            "t_10x_sec": t10,
-            "t_30x_sec": t30,
+            "t_10x_sec": round(t10, 2),
+            "t_30x_sec": round(t30, 2),
             "ratio": round(t30 / t10, 2),
             "exponent": round(math.log(t30 / t10) / math.log(3), 2),
             "rows_10x": rows10,
