@@ -49,6 +49,13 @@ def _audit_source_digest() -> str:
             REPO / "PLANS.md",
         ]
     )
+    # The AQE/session conf that shapes every audited plan lives in
+    # session.py, which the package rglob above covers — pin that so a
+    # future move out of the package cannot silently drop it from the
+    # key (round-13 verdict item 7).
+    assert any(p.name == "session.py" for p in paths), (
+        "session.py (AQE/plan-shaping conf) left the digest's coverage"
+    )
     for p in paths:
         h.update(str(p.relative_to(REPO)).encode() + b"\0")
         b = p.read_bytes()

@@ -270,6 +270,13 @@ def _scale_net_digest() -> str:
     # parquet file's size into the key catches any practical rewrite
     # cheaply (stat only; a same-size byte flip still needs the
     # never-cached manifest test, which full runs always execute).
+    # ACCEPTED RESIDUAL (round-13 verdict item 5): under single-test
+    # -k selection, an out-of-band parquet edit that preserves BOTH the
+    # byte size and MANIFEST.json could still serve a stale green.
+    # That requires deliberately crafting a same-size parquet rewrite
+    # while suppressing the manifest recompute — adversarial, not
+    # accidental — and any full session closes it, so it is documented
+    # rather than mechanized.
     for p in sorted(Path(SCALE_DIR).glob("*.parquet")):
         h.update(p.name.encode() + b"\0")
         h.update(str(p.stat().st_size).encode() + b"\0")
