@@ -57,6 +57,18 @@ both points, local[32]):
     llm_semdedup_scaled       t_10x  6.03 s  t_30x 12.57 s  ratio 2.08
                               exponent 0.67   rows 20,020 -> 60,020
 
+MEASURED (round 14 — the cross-round replicate round-13 verdict
+item 6 asked for, same methodology on a different day):
+
+    llm_substring_spans       t_10x  7.84 s  t_30x 16.10 s  ratio 2.05
+                              exponent 0.65   rows 2,328 -> 6,988
+    llm_winnow_pairs          t_10x 35.13 s  t_30x 81.86 s  ratio 2.33
+                              exponent 0.77   rows 38,933 -> 3,493
+    llm_semdedup_trained_k32  t_10x  7.59 s  t_30x 26.79 s  ratio 3.53
+                              exponent 1.15   rows 20,020 -> 60,020
+    llm_semdedup_scaled       t_10x  5.16 s  t_30x 10.98 s  ratio 2.13
+                              exponent 0.69   rows 20,020 -> 60,020
+
 Probe noise band (round-12 item 7 — second data point, plus a
 same-methodology replicate): vs round 12 the spans exponent moved
 0.75 -> 0.76 (±0.01) and winnow 0.92 -> 0.71 (-0.21, in exactly the
@@ -67,7 +79,13 @@ the SAME methodology on a quiet machine read spans 0.76/0.81, winnow
 spreads widest (its quadratic 30x pair stage is the most
 load-sensitive slot).  Treat exponent deltas under ~0.2 as probe
 noise; every red line sits >= 0.6 above the worse of its two
-measurements.
+measurements.  The round-14 cross-DAY replicate above holds that
+band: per-subject spread across all three same-methodology runs is
+spans 0.65-0.81, winnow 0.71-0.78, scaled 0.67-0.73 (all <= 0.16),
+with only the frozen-K control exceeding it slightly (1.15-1.41,
+spread 0.26 — consistent with its flagged load sensitivity; its gap
+to the 2.1 red line remains >= 0.69).  Exponent deltas under ~0.2
+are noise within AND across days; for k32 specifically allow ~0.3.
 
 The text-pair exponents are ~linear-in-corpus — the subquadratic
 claim the bench slots track, measured (all-pairs would read 2.0).
