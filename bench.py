@@ -81,14 +81,18 @@ dblp_coauthor_components_star at 8.71 s, 2.05x its r10-r12 band of
 3.68-4.58 s, tpch_window_ntile ~2x its 1.04-1.15 band,
 semdedup_trained_k32 +44%, bigram_lm_score +22% — all on FLAT
 calibrations, shuffle 0.749 vs r12's 0.745 and scan_sf1 0.378 vs
-r10's 0.383): the six plan-identical sf1 totals now read
-87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 — spread +/-12% around the
-~92.7 s mean, with single iterative/checkpoint-heavy
-(components_star) and windowed-global-sort (ntile) slots swinging up
-to ~2x (+/-100%).  The sixth observation (round-14 in-round, same
-plans) landed on the mean with components_star 4.27 and ntile 1.04
-both back in their bands — corroborating that the r13 driver run was
-an environmental outlier, not a drift onset.
+r10's 0.383): the seven plan-identical sf1 totals now read
+87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 — spread -10%/+15%
+(~+/-12%) around the ~91.8 s mean, with single
+iterative/checkpoint-heavy (components_star) and windowed-global-sort
+(ntile) slots swinging up to ~2x (+/-100%).  The sixth observation
+(round-14 in-round, same plans) landed on the mean with
+components_star 4.27 and ntile 1.04 both back in their bands; the
+seventh (the driver's official BENCH_r14, recorded after the final
+round-14 commit: sf1 total 86.14, floor_sf1 3.683, components_star
+3.73 and ntile 1.09 both in-band) confirms it — two consecutive
+post-outlier runs corroborate that the r13 driver run was an
+environmental outlier, not a drift onset.
 Note these observations are all ALREADY best-of-2 per slot
 (SPARK_GRAFT_BENCH_RUNS defaults to 2 and the sf1 pass inherits it
 via SPARK_GRAFT_BENCH_RUNS_SCALE; the emitted "bench_runs" /

@@ -52,61 +52,9 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 11 (49 rows — stalest tier after stream_dedup_parity's
-    # round-13 refresh; fills the first 49 slots of the round-14 window
-    # under the rotation policy) ---
-    "llm_ann_brute_topk": 11,
-    "llm_ann_ivf": 11,
-    "llm_ann_ivf_trained": 11,
-    "llm_ann_lsh_topk": 11,
-    "llm_ann_pq_trained": 11,
-    "llm_cluster_top_terms": 11,
-    "llm_decontaminate": 11,
-    "llm_decontaminate_semantic": 11,
-    "llm_dedup_clusters": 11,
-    "llm_dedup_embedding": 11,
-    "llm_dedup_exact": 11,
-    "llm_dedup_simhash": 11,
-    "llm_domain_mixture": 11,
-    "llm_fingerprint_rolling": 11,
-    "llm_inverted_index": 11,
-    "llm_kmeans": 11,
-    "llm_langid": 11,
-    "llm_leakage_free_split": 11,
-    "llm_multimodal_features": 11,
-    "llm_multimodal_frames": 11,
-    "llm_multimodal_resize": 11,
-    "llm_ngram_jaccard": 11,
-    "llm_ngram_jaccard_prefix": 11,
-    "llm_pii_scrub": 11,
-    "llm_quality_pandas_udf": 11,
-    "llm_quality_select_approx": 11,
-    "llm_sequence_pack": 11,
-    "llm_substring_spans": 11,
-    "llm_text_stats": 11,
-    "llm_tfidf_top_terms": 11,
-    "llm_token_count_arrow": 11,
-    "llm_winnow_pairs": 11,
-    "llm_zscore_grouped_map": 11,
-    "stream_late_drop_parity": 11,
-    "tpch_scalar_math": 11,
-    "tpch_scalar_string": 11,
-    "tpch_scan_filter_project": 11,
-    "tpch_set_ops_nations": 11,
-    "tpch_sink_csv_roundtrip": 11,
-    "tpch_sink_json_roundtrip": 11,
-    "tpch_sink_orc_roundtrip": 11,
-    "tpch_sink_partitioned_parquet": 11,
-    "tpch_sink_text_ordered": 11,
-    "tpch_stats_agg": 11,
-    "tpch_subquery_correlated": 11,
-    "tpch_subquery_in": 11,
-    "tpch_top3_orders_per_cust": 11,
-    "tpch_window_lag_gap": 11,
-    "tpch_window_running_total": 11,
-    # --- round 12 (50 rows; the first by surface-risk/name order,
-    # stream_checkpoint_recovery, takes the round-14 window's 50th
-    # slot) ---
+    # --- round 12 (49 rows — stalest tier after stream_checkpoint_
+    # recovery's round-14 refresh; fills the first 49 slots of the
+    # round-15 window under the rotation policy) ---
     "dblp_coauthor_components_star": 12,
     "dblp_coauthor_triangles": 12,
     "dblp_pagerank": 12,
@@ -133,7 +81,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_semdedup_trained_k32": 12,
     "llm_token_count": 12,
     "llm_trimmed_mean_grouped_agg": 12,
-    "stream_checkpoint_recovery": 12,
     "stream_session_parity": 12,
     "stream_sliding_parity": 12,
     "stream_stateful_user_stats": 12,
@@ -157,10 +104,8 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_market_share": 12,
     "tpch_merge_upsert": 12,
     "tpch_window_ntile": 12,
-    # --- round 13 (50 rows, freshest — the full predicted window:
-    # the 49 round-10 rows + stream_dedup_parity, all green,
-    # row-for-row as written in the round-13 ledger comment; fifth
-    # consecutive round the forward prediction held) ---
+    # --- round 13 (50 rows; the first by surface-risk/name order,
+    # stream_dedup_parity, takes the round-15 window's 50th slot) ---
     "dblp_coauthor_components": 13,
     "dblp_coauthor_pairs": 13,
     "dblp_q1_top_authors_per_venue": 13,
@@ -211,17 +156,71 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_weighted_sample": 13,
     "tpch_window_range_frame": 13,
     "tpch_zorder_range_scan": 13,
+    # --- round 14 (50 rows, freshest — the full predicted window:
+    # the 49 round-11 rows + stream_checkpoint_recovery, all green,
+    # row-for-row as written in the round-14 ledger comment; sixth
+    # consecutive round the forward prediction held) ---
+    "llm_ann_brute_topk": 14,
+    "llm_ann_ivf": 14,
+    "llm_ann_ivf_trained": 14,
+    "llm_ann_lsh_topk": 14,
+    "llm_ann_pq_trained": 14,
+    "llm_cluster_top_terms": 14,
+    "llm_decontaminate": 14,
+    "llm_decontaminate_semantic": 14,
+    "llm_dedup_clusters": 14,
+    "llm_dedup_embedding": 14,
+    "llm_dedup_exact": 14,
+    "llm_dedup_simhash": 14,
+    "llm_domain_mixture": 14,
+    "llm_fingerprint_rolling": 14,
+    "llm_inverted_index": 14,
+    "llm_kmeans": 14,
+    "llm_langid": 14,
+    "llm_leakage_free_split": 14,
+    "llm_multimodal_features": 14,
+    "llm_multimodal_frames": 14,
+    "llm_multimodal_resize": 14,
+    "llm_ngram_jaccard": 14,
+    "llm_ngram_jaccard_prefix": 14,
+    "llm_pii_scrub": 14,
+    "llm_quality_pandas_udf": 14,
+    "llm_quality_select_approx": 14,
+    "llm_sequence_pack": 14,
+    "llm_substring_spans": 14,
+    "llm_text_stats": 14,
+    "llm_tfidf_top_terms": 14,
+    "llm_token_count_arrow": 14,
+    "llm_winnow_pairs": 14,
+    "llm_zscore_grouped_map": 14,
+    "stream_checkpoint_recovery": 14,
+    "stream_late_drop_parity": 14,
+    "tpch_scalar_math": 14,
+    "tpch_scalar_string": 14,
+    "tpch_scan_filter_project": 14,
+    "tpch_set_ops_nations": 14,
+    "tpch_sink_csv_roundtrip": 14,
+    "tpch_sink_json_roundtrip": 14,
+    "tpch_sink_orc_roundtrip": 14,
+    "tpch_sink_partitioned_parquet": 14,
+    "tpch_sink_text_ordered": 14,
+    "tpch_stats_agg": 14,
+    "tpch_subquery_correlated": 14,
+    "tpch_subquery_in": 14,
+    "tpch_top3_orders_per_cust": 14,
+    "tpch_window_lag_gap": 14,
+    "tpch_window_running_total": 14,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-14 policy (standing judge directive, round-8
-# verdict item 2, reaffirmed in the round-13 verdict): NO new registry
+# green driver row.  Round-15 policy (standing judge directive, round-8
+# verdict item 2, reaffirmed in the round-14 verdict): NO new registry
 # queries unless a container gate opens, and an empty _CHANGED unless a
 # certified query's implementation or oracle is edited — with both, the
-# round-14 window is exactly the 49 round-11 rows + the first round-12
-# row by surface-risk order (stream_checkpoint_recovery).  Post-fold
-# staleness histogram: 49@r11 / 50@r12 / 50@r13 — every row <=2 rounds
-# stale, the rotation's designed steady state (held for a fifth round).
+# round-15 window is exactly the 49 round-12 rows + the first round-13
+# row by surface-risk order (stream_dedup_parity).  Post-fold staleness
+# histogram: 49@r12 / 50@r13 / 50@r14 — every row <=2 rounds stale, the
+# rotation's designed steady state (held for a sixth round).
 _CHANGED: list[str] = []
 
 

@@ -52,8 +52,12 @@ def _audit_source_digest() -> str:
     # The AQE/session conf that shapes every audited plan lives in
     # session.py, which the package rglob above covers — pin that so a
     # future move out of the package cannot silently drop it from the
-    # key (round-13 verdict item 7).
-    assert any(p.name == "session.py" for p in paths), (
+    # key (round-13 verdict item 7).  Match the exact relative path,
+    # not the basename (round-14 ADVICE): an unrelated file that
+    # happens to be named session.py elsewhere under the package must
+    # not be able to mask a move of the real conf module.
+    session_rel = Path("map_reduce_for_dbpl_dataset_spark") / "session.py"
+    assert any(p.relative_to(REPO) == session_rel for p in paths), (
         "session.py (AQE/plan-shaping conf) left the digest's coverage"
     )
     for p in paths:

@@ -89,7 +89,19 @@ def main() -> None:
     )
     args = ap.parse_args()
     known = {*KEYED, "documents", "publications"}
-    wanted = set(args.tables.split(",")) if args.tables else known
+    # Normalize before validating (round-14 ADVICE): strip whitespace
+    # and drop empty segments so "documents, publications" or a
+    # trailing comma doesn't fail with a confusing [''] / [' name']
+    # unknown-table error when the intent is valid.
+    if args.tables:
+        wanted = {t.strip() for t in args.tables.split(",") if t.strip()}
+        if not wanted:
+            raise SystemExit(
+                "--tables was given but named no tables; "
+                f"known tables: {sorted(known)}"
+            )
+    else:
+        wanted = known
     # Fail loudly on a typo'd table name (round-13 ADVICE): an unknown
     # name would otherwise silently generate nothing and could stamp an
     # empty-but-valid MANIFEST.json into a fresh dir, deferring the
