@@ -11,6 +11,21 @@ from map_reduce_for_dbpl_dataset_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# The shared test session's shape — single source of truth, imported by
+# tools/cost_ledger.py so COSTS.md is always measured at the shape the
+# suite actually pays for.  Raised 4 -> 16 in round 15 (round-14
+# verdict item 5: full cold suite had plateaued ~24 min, dominated by
+# the sf1 net's Spark side running on 4 of 32 cores): 16 threads cut
+# the three heaviest rows 360 s -> 131 s measured, while staying
+# under the machine's 32 so DuckDB oracle phases and Python UDF
+# workers keep headroom.  Still multi-partition (the property the
+# small session existed to keep honest), and the hash-identity net is
+# partition-count-invariant by construction — certified at
+# cpus/shuffle 4 (suite, rounds 9-14) and 8 (driver gate) already;
+# this adds a third shape rather than weakening anything.
+SUITE_CPUS = 16
+SUITE_SHUFFLE_PARTITIONS = 16
+
 
 def pytest_configure(config):
     config.addinivalue_line(
@@ -20,7 +35,9 @@ def pytest_configure(config):
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", cpus=4, shuffle_partitions=4)
+    s = get_spark(
+        "tests", cpus=SUITE_CPUS, shuffle_partitions=SUITE_SHUFFLE_PARTITIONS
+    )
     yield s
     s.stop()
 

@@ -30,7 +30,13 @@ re-runs the full net; unchanged-source re-runs skip straight through,
 exactly the plan-audit gate's contract.  MEASURED (round 12, quiet
 machine): this file 18m23s cold / 3.3s warm; the full 179-test suite
 4m01s warm vs the 22.4 min of round 10 — per-row cold costs live in
-the generated COSTS.md.  (The sf0.1 union-find replay
+the generated COSTS.md.  Round 15 closed the cold-time plateau
+(round-14 verdict item 5): the suite session moved to
+conftest.SUITE_CPUS=16 (from the original 4-of-32-cores shape),
+cutting the net's Spark side 714.8 -> 403.2 s (COSTS.md regenerated
+at the new shape) and the full cold 181-test suite to 16m45s
+measured — under the ~20 min target with the 70-row net's membership
+untouched; warm re-run 1.9 s.  (The sf0.1 union-find replay
 below keys on the same digest; /root/testdata is immutable, matching
 the plan-audit gate's rationale for leaving testdata out of the key.)
 """

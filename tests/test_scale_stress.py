@@ -544,8 +544,9 @@ def test_pair_stage_scaling_exponent():
     (round-11 verdict item 7; the two SemDeDup subjects added round 13
     per round-12 item 6): runs tools/scale_probe.py in its own
     subprocess (own local[N] session — the probe measures throughput,
-    so it must not inherit this suite's deliberately small cpus=4
-    session), which times each subject at the 10x (fixtures/sf1) and
+    so it must not inherit this suite's deliberately
+    smaller-than-machine session — conftest.SUITE_CPUS, 16 since
+    round 15), which times each subject at the 10x (fixtures/sf1) and
     30x single-table key-shift points and reports
     exponent = log(t_30x/t_10x)/log(3).  Asserts every exponent stays
     under ITS OWN red line (carried in the probe output): 1.8 for the

@@ -14,7 +14,7 @@ of a fresh one-off, and the "which rows dominate the suite" question
 answered by sorting one table.
 
 Measurement conditions match the suite exactly — same session shape
-(cpus=4, shuffle_partitions=4 via conftest's values), same collect
+(cpus/shuffle_partitions imported from tests/conftest.py), same collect
 + fetchall endpoints, same publications-path rewrite.  Numbers are
 environment-sensitive (the bench docstring's noise-floor and
 attribution notes apply); the ledger records the measurement date and
@@ -39,8 +39,15 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import duckdb
+
+# Single source of truth for the measurement session's shape: the
+# suite's own conftest (round 15 — the hard-coded cpus=4 twin here
+# could silently drift from the fixture's values; importing them makes
+# COSTS.md's "the pytest suite's shape" claim true by construction).
+from conftest import SUITE_CPUS, SUITE_SHUFFLE_PARTITIONS
 
 SCALE_DIR = os.path.join(REPO, "fixtures", "sf1")
 TABLES = (
@@ -102,7 +109,11 @@ def measure(names: list[str]) -> dict[str, dict]:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("cost-ledger", cpus=4, shuffle_partitions=4)
+    spark = get_spark(
+        "cost-ledger",
+        cpus=SUITE_CPUS,
+        shuffle_partitions=SUITE_SHUFFLE_PARTITIONS,
+    )
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
@@ -142,8 +153,9 @@ def render(measured: dict[str, dict]) -> str:
         "# COSTS — sf1 scale-net per-query ledger (generated)",
         "",
         f"Generated by `python tools/cost_ledger.py --write` on "
-        f"{datetime.date.today().isoformat()}; session cpus=4 / "
-        "shuffle_partitions=4 (the pytest suite's shape), collect/"
+        f"{datetime.date.today().isoformat()}; session cpus={SUITE_CPUS} / "
+        f"shuffle_partitions={SUITE_SHUFFLE_PARTITIONS} (the pytest "
+        "suite's shape, imported from tests/conftest.py), collect/"
         "fetchall endpoints included — these are the seconds each row "
         "charges the suite, not pure engine time.  Sorted most "
         "expensive first.  Regenerate when the net's membership "

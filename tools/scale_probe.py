@@ -87,6 +87,16 @@ spread 0.26 — consistent with its flagged load sensitivity; its gap
 to the 2.1 red line remains >= 0.69).  Exponent deltas under ~0.2
 are noise within AND across days; for k32 specifically allow ~0.3.
 
+RE-RUN CADENCE (round-14 verdict item 6 — stated so future rounds
+don't re-measure by reflex): with three same-methodology replicates
+banked across two days and every spread inside the noise band, the
+probe is NOT a per-round ritual.  Re-run it only when (a) a probed
+subject's implementation, its pair-join discipline
+(spread_for_pair_join / salting / df-cap constants), or the scale
+fixtures' replication scheme changes, or (b) the subject's sf1 bench
+slot leaves its multi-round band per bench.py's attribution rule —
+otherwise the banked exponents stand as the measured record.
+
 The text-pair exponents are ~linear-in-corpus — the subquadratic
 claim the bench slots track, measured (all-pairs would read 2.0).
 The SemDeDup pair is the scaling law measured at identical points:
