@@ -92,7 +92,11 @@ seventh (the driver's official BENCH_r14, recorded after the final
 round-14 commit: sf1 total 86.14, floor_sf1 3.683, components_star
 3.73 and ntile 1.09 both in-band) confirms it — two consecutive
 post-outlier runs corroborate that the r13 driver run was an
-environmental outlier, not a drift onset.
+environmental outlier, not a drift onset.  An eighth in-round
+observation (round 15: sf1 total 85.3, components_star 3.98 / ntile
+1.08 / winnow 27.3 all in-band) sits inside the band as well; the
+plans are still byte-identical (the round-15 suite-session change
+touched tests/conftest.py only, not bench.py's own sessions).
 Note these observations are all ALREADY best-of-2 per slot
 (SPARK_GRAFT_BENCH_RUNS defaults to 2 and the sf1 pass inherits it
 via SPARK_GRAFT_BENCH_RUNS_SCALE; the emitted "bench_runs" /
