@@ -23,8 +23,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 # partition-count-invariant by construction — certified at
 # cpus/shuffle 4 (suite, rounds 9-14) and 8 (driver gate) already;
 # this adds a third shape rather than weakening anything.
-SUITE_CPUS = 16
-SUITE_SHUFFLE_PARTITIONS = 16
+# The 16 assumes this repo's 32-core grading machine; capped at
+# cpu_count so a smaller dev/CI host doesn't oversubscribe local[16]
+# (round-15 ADVICE — correctness is shape-invariant either way, only
+# the documented cold-suite timings assume the 32-core host).
+SUITE_CPUS = min(16, os.cpu_count() or 16)
+SUITE_SHUFFLE_PARTITIONS = SUITE_CPUS
 
 
 def pytest_configure(config):

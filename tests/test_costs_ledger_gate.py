@@ -13,7 +13,10 @@ would flap, but the *row set* is a deterministic function of two
 in-repo sources (``SCALE_QUERIES`` + ``cost_ledger.EXCLUDED``), so a
 mismatch is always a real staleness bug, never noise.
 
-Cheap and always-on: pure text parsing plus two imports, no Spark.
+Cheap and always-on: pure text parsing plus two imports, no Spark —
+kept true by cost_ledger deferring its tests/conftest.py load (which
+transitively imports pyspark) into ``_suite_shape()``, called only by
+``measure()``/``render()``, never at import time (round-15 ADVICE).
 """
 
 from __future__ import annotations

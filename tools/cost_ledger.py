@@ -39,15 +39,36 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+# tests/ on sys.path for main()'s `from test_scale_correctness import
+# SCALE_QUERIES` (the conftest import below does NOT rely on it — see
+# _suite_shape).
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 import duckdb
 
-# Single source of truth for the measurement session's shape: the
-# suite's own conftest (round 15 — the hard-coded cpus=4 twin here
-# could silently drift from the fixture's values; importing them makes
-# COSTS.md's "the pytest suite's shape" claim true by construction).
-from conftest import SUITE_CPUS, SUITE_SHUFFLE_PARTITIONS
+
+def _suite_shape() -> tuple[int, int]:
+    """(SUITE_CPUS, SUITE_SHUFFLE_PARTITIONS) from tests/conftest.py —
+    the single source of truth for the measurement session's shape
+    (round 15: a hard-coded cpus twin here could silently drift from
+    the fixture's values; reading the suite's own constants makes
+    COSTS.md's "the pytest suite's shape" claim true by construction).
+
+    Loaded by EXPLICIT path, not `from conftest import ...` (round-15
+    ADVICE: a bare-name import binds whichever conftest.py happens to
+    resolve first on sys.path — or breaks under a pytest import-mode
+    that registers tests/conftest.py under another module name), and
+    DEFERRED to call time so `from cost_ledger import EXCLUDED` (the
+    COSTS.md membership gate's import) stays import-light — conftest
+    transitively imports pyspark via the session module.
+    """
+    import importlib.util
+
+    path = os.path.join(REPO, "tests", "conftest.py")
+    spec = importlib.util.spec_from_file_location("_suite_conftest", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.SUITE_CPUS, mod.SUITE_SHUFFLE_PARTITIONS
 
 SCALE_DIR = os.path.join(REPO, "fixtures", "sf1")
 TABLES = (
@@ -109,10 +130,11 @@ def measure(names: list[str]) -> dict[str, dict]:
 
     import __spark_entry__ as entrymod
 
+    suite_cpus, suite_shuffle = _suite_shape()
     spark = get_spark(
         "cost-ledger",
-        cpus=SUITE_CPUS,
-        shuffle_partitions=SUITE_SHUFFLE_PARTITIONS,
+        cpus=suite_cpus,
+        shuffle_partitions=suite_shuffle,
     )
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     con = duckdb.connect()
@@ -147,14 +169,15 @@ def measure(names: list[str]) -> dict[str, dict]:
 
 
 def render(measured: dict[str, dict]) -> str:
+    suite_cpus, suite_shuffle = _suite_shape()
     total_spark = round(sum(m["spark_sec"] for m in measured.values()), 1)
     total_oracle = round(sum(m["oracle_sec"] for m in measured.values()), 1)
     lines = [
         "# COSTS — sf1 scale-net per-query ledger (generated)",
         "",
         f"Generated by `python tools/cost_ledger.py --write` on "
-        f"{datetime.date.today().isoformat()}; session cpus={SUITE_CPUS} / "
-        f"shuffle_partitions={SUITE_SHUFFLE_PARTITIONS} (the pytest "
+        f"{datetime.date.today().isoformat()}; session cpus={suite_cpus} / "
+        f"shuffle_partitions={suite_shuffle} (the pytest "
         "suite's shape, imported from tests/conftest.py), collect/"
         "fetchall endpoints included — these are the seconds each row "
         "charges the suite, not pure engine time.  Sorted most "
@@ -200,7 +223,7 @@ def main() -> None:
                     help="measure only these query names")
     args = ap.parse_args()
 
-    sys.path.insert(0, os.path.join(REPO, "tests"))
+    # tests/ is already on sys.path from the module-level insert
     from test_scale_correctness import SCALE_QUERIES
 
     names = list(args.only) if args.only else list(SCALE_QUERIES)
