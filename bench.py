@@ -81,9 +81,9 @@ dblp_coauthor_components_star at 8.71 s, 2.05x its r10-r12 band of
 3.68-4.58 s, tpch_window_ntile ~2x its 1.04-1.15 band,
 semdedup_trained_k32 +44%, bigram_lm_score +22% — all on FLAT
 calibrations, shuffle 0.749 vs r12's 0.745 and scan_sf1 0.378 vs
-r10's 0.383): the seven plan-identical sf1 totals now read
-87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 — spread -10%/+15%
-(~+/-12%) around the ~91.8 s mean, with single
+r10's 0.383): the ten plan-identical sf1 totals now read
+87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
+92.1 — spread -9%/+17% around the ~90.8 s mean, with single
 iterative/checkpoint-heavy (components_star) and windowed-global-sort
 (ntile) slots swinging up to ~2x (+/-100%).  The sixth observation
 (round-14 in-round, same plans) landed on the mean with
@@ -92,11 +92,16 @@ seventh (the driver's official BENCH_r14, recorded after the final
 round-14 commit: sf1 total 86.14, floor_sf1 3.683, components_star
 3.73 and ntile 1.09 both in-band) confirms it — two consecutive
 post-outlier runs corroborate that the r13 driver run was an
-environmental outlier, not a drift onset.  An eighth in-round
-observation (round 15: sf1 total 85.3, components_star 3.98 / ntile
-1.08 / winnow 27.3 all in-band) sits inside the band as well; the
-plans are still byte-identical (the round-15 suite-session change
-touched tests/conftest.py only, not bench.py's own sessions).
+environmental outlier, not a drift onset.  The eighth (round-15
+in-round: 85.3, components_star 3.98 / ntile 1.08 / winnow 27.3
+in-band) and ninth (the driver's official BENCH_r15: 88.70, floor_sf1
+4.325, components_star 4.03 / ntile 1.19 / winnow 28.49 all in-band)
+sit inside the band as well, as does the tenth (round-16 in-round
+control: 92.1, components_star 4.58 / ntile 1.12 / winnow 29.6, the
+winnow reading a marginal new slot max vs its prior 27.3-28.5 with
+the total mid-band); the plans are still byte-identical (the
+round-15/16 changes touched tests, tools, and this docstring only,
+not bench.py's own sessions).
 Note these observations are all ALREADY best-of-2 per slot
 (SPARK_GRAFT_BENCH_RUNS defaults to 2 and the sf1 pass inherits it
 via SPARK_GRAFT_BENCH_RUNS_SCALE; the emitted "bench_runs" /
@@ -112,7 +117,38 @@ plan-identical band above (total +/-12%, single iterative/window
 slots up to 2x), not against the previous round or the calibration
 slots alone; only investigate an sf1 slot that (a) leaves its
 multi-round band AND (b) moves the same direction in the sf0.1 suite,
-where the r6-r11 +/-10%-normalized band still governs.
+judged against the SF0.1 multi-round envelope below.
+
+SF0.1 MULTI-ROUND ENVELOPE (round-15 verdict item 3 — the r6-r11
+"+/-10% normalized vs the previous round" rule FALSE-ALARMS on
+uniform co-tenancy: the driver's official BENCH_r15 landed at
+value_per_calibration 53.69, +11.4% over BENCH_r14's 48.17, on
+byte-identical plans — 14 of 21 slots sat 2-10% above their
+five-round maxima SIMULTANEOUSLY while BOTH calibration yardsticks
+were also at their maxima, shuffle 0.759 = r9's max and scan 0.281 =
+all-time max, the signature of machine-wide co-tenancy during the
+run, not plan drift): judge the sf0.1 headline against the
+MULTI-ROUND fixed-21-slot-suite envelope, normalized totals
+53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 across rounds 10-15
+(48.2-53.7, ~51.2 mean, about -6%/+5%), with the same two-part
+attribution rule as sf1: investigate only a normalized total that
+(a) leaves the envelope AND (b) cannot be attributed to the
+yardsticks — both calibrations flat (or moving the other way) while
+slots rise is the real-regression signal; a uniform lift with the
+yardsticks at extremes is co-tenancy, run an in-round control and
+fold the observation instead of chasing it.  VALIDITY CAVEAT: the
+normalized envelope only applies while calibration_sec itself sits
+in its driver-run range (0.61-0.76 across r10-r15) — on a quiet
+machine the synthetic-shuffle slot can halve (in-round controls have
+read 0.46-0.47), exploding value_per_calibration with no query
+movement at all; outside that calib range judge the RAW total
+against the driver-run raw envelope (32.6-40.8 s, ~36.7 mean) plus
+slot-level moves.  The round-16 in-round control confirmed the r15
+elevation did not sustain: raw 35.29 s (mid-envelope; normalized
+74.9 solely because calib read 0.471), every slot at or below its
+r15 driver reading (largest move dblp_q5 -31%, largest rise +7%),
+and the sf1 pass landed in-band too (92.14 s total, floor 3.939,
+components_star 4.58 / ntile 1.12 / winnow 29.6).
 """
 
 from __future__ import annotations
