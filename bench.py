@@ -96,12 +96,33 @@ environmental outlier, not a drift onset.  The eighth (round-15
 in-round: 85.3, components_star 3.98 / ntile 1.08 / winnow 27.3
 in-band) and ninth (the driver's official BENCH_r15: 88.70, floor_sf1
 4.325, components_star 4.03 / ntile 1.19 / winnow 28.49 all in-band)
-sit inside the band as well, as does the tenth (round-16 in-round
-control: 92.1, components_star 4.58 / ntile 1.12 / winnow 29.6, the
-winnow reading a marginal new slot max vs its prior 27.3-28.5 with
-the total mid-band); the plans are still byte-identical (the
-round-15/16 changes touched tests, tools, and this docstring only,
-not bench.py's own sessions).
+sit inside the band as well, as do the tenth (round-16 in-round
+control: 92.1, components_star 4.58 / ntile 1.12 / winnow 29.6) and
+the eleventh (the driver's official BENCH_r16: 91.03, floor_sf1
+4.158, components_star 3.64 / ntile 1.18 in-band, winnow 30.22 — see
+the named watch below); the eleven plan-identical sf1 totals now
+read 87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
+92.1 / 91.0 (82.6-105.9, ~90.9 mean, -9%/+17%), and the plans are
+still byte-identical (the round-15/16/17 changes touched tests,
+tools, and this docstring only, not bench.py's own sessions).
+
+LLM_WINNOW_PAIRS SF1 CREEP-WATCH (named in the round-16 verdict,
+wrinkle 2): three consecutive ascending readings on the suite's most
+expensive slot — 28.49 (r15 driver) -> 29.6 (r16 in-round) -> 30.22
+(r16 driver) — against its prior non-elevated driver band
+26.6-28.5 (the lone higher reading, 32.1, was the r12 round-wide
+environmental elevation, floor_sf1 4.52), while the text floor FELL
+(4.325 -> 4.158) and the slot's own sf0.1 twin fell -6.9%
+simultaneously.  The committed sf1 rule correctly reads each single
+observation as environmental (in the 2x single-slot band, opposite
+direction at sf0.1), but a monotone three-run ascent earns a named
+trigger: if the round-17 in-round control or driver reading ascends
+AGAIN (> ~30.2), treat it as the "out-of-band bench move" that
+re-runs the scale probe per the committed cadence
+(tools/scale_probe.py:90-96 — re-measure the winnow 10x->30x
+exponent and compare to its 0.77 bank / ~1.4 red line); if it lands
+back <= ~29, fold it as plain band width and note the resolution
+here.
 Note these observations are all ALREADY best-of-2 per slot
 (SPARK_GRAFT_BENCH_RUNS defaults to 2 and the sf1 pass inherits it
 via SPARK_GRAFT_BENCH_RUNS_SCALE; the emitted "bench_runs" /
@@ -129,22 +150,36 @@ were also at their maxima, shuffle 0.759 = r9's max and scan 0.281 =
 all-time max, the signature of machine-wide co-tenancy during the
 run, not plan drift): judge the sf0.1 headline against the
 MULTI-ROUND fixed-21-slot-suite envelope, normalized totals
-53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 across rounds 10-15
-(48.2-53.7, ~51.2 mean, about -6%/+5%), with the same two-part
+53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 / 55.7 across rounds 10-16
+(48.1-55.7, ~51.9 mean, about -7%/+7%; bounds rounded OUTWARD so the
+defining observations sit inside their own envelope — r14 read
+48.173), with the same two-part
 attribution rule as sf1: investigate only a normalized total that
 (a) leaves the envelope AND (b) cannot be attributed to the
 yardsticks — both calibrations flat (or moving the other way) while
 slots rise is the real-regression signal; a uniform lift with the
 yardsticks at extremes is co-tenancy, run an in-round control and
-fold the observation instead of chasing it.  VALIDITY CAVEAT: the
-normalized envelope only applies while calibration_sec itself sits
-in its driver-run range (0.61-0.76 across r10-r15) — on a quiet
-machine the synthetic-shuffle slot can halve (in-round controls have
-read 0.46-0.47), exploding value_per_calibration with no query
-movement at all; outside that calib range judge the RAW total
-against the driver-run raw envelope (32.6-40.8 s, ~36.7 mean) plus
-slot-level moves.  The round-16 in-round control confirmed the r15
-elevation did not sustain: raw 35.29 s (mid-envelope; normalized
+fold the observation instead of chasing it.  DENOMINATOR CLAUSE
+(round-16 verdict wrinkle 1 — the envelope's first driver
+application landed OUTSIDE the then-written 48.2-53.7 range at
+normalized 55.65 with calib 0.657 squarely in the validity range,
+even though the raw total 36.57 was mid-raw-envelope and ALL 21
+slots fell or held vs their r15 readings, largest move -24%, no
+rises: pure denominator motion, the shuffle calib fell -13% faster
+than the suite): a normalized exceedance with (a) the raw total
+inside the raw envelope AND (b) no slot above its prior driver
+reading is ATTRIBUTABLE — denominator motion, fold it, do not
+investigate; only a normalized exceedance where slots actually rose
+against flat-or-falling yardsticks is a signal.  VALIDITY CAVEAT:
+the normalized envelope only applies while calibration_sec itself
+sits in its driver-run range (0.60-0.76 across r10-r16; outward
+rounding again — r10 read 0.608) — on a quiet machine the
+synthetic-shuffle slot can halve (in-round controls have read
+0.46-0.47), exploding value_per_calibration with no query movement
+at all; outside that calib range judge the RAW total against the
+driver-run raw envelope (32.5-40.8 s, ~36.7 mean; r10 read 32.597)
+plus slot-level moves.  The round-16 in-round control confirmed the
+r15 elevation did not sustain: raw 35.29 s (mid-envelope; normalized
 74.9 solely because calib read 0.471), every slot at or below its
 r15 driver reading (largest move dblp_q5 -31%, largest rise +7%),
 and the sf1 pass landed in-band too (92.14 s total, floor 3.939,

