@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import functools
 import os
 import sys
 import time
@@ -47,6 +48,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 import duckdb
 
 
+@functools.lru_cache(maxsize=1)
 def _suite_shape() -> tuple[int, int]:
     """(SUITE_CPUS, SUITE_SHUFFLE_PARTITIONS) from tests/conftest.py —
     the single source of truth for the measurement session's shape
@@ -61,6 +63,11 @@ def _suite_shape() -> tuple[int, int]:
     DEFERRED to call time so `from cost_ledger import EXCLUDED` (the
     COSTS.md membership gate's import) stays import-light — conftest
     transitively imports pyspark via the session module.
+
+    MEMOIZED (round-16 ADVICE): measure() and render() each call this,
+    so an un-cached --write run would exec conftest.py — its module
+    body includes a sys.path.insert and the pyspark import — twice per
+    process; lru_cache bounds that to once.
     """
     import importlib.util
 
