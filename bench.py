@@ -100,11 +100,13 @@ sit inside the band as well, as do the tenth (round-16 in-round
 control: 92.1, components_star 4.58 / ntile 1.12 / winnow 29.6) and
 the eleventh (the driver's official BENCH_r16: 91.03, floor_sf1
 4.158, components_star 3.64 / ntile 1.18 in-band, winnow 30.22 — see
-the named watch below); the eleven plan-identical sf1 totals now
-read 87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
-92.1 / 91.0 (82.6-105.9, ~90.9 mean, -9%/+17%), and the plans are
-still byte-identical (the round-15/16/17 changes touched tests,
-tools, and this docstring only, not bench.py's own sessions).
+the named watch below) and twelfth (round-17 in-round control: 87.0,
+floor_sf1 4.013, components_star 3.75 / ntile 1.06 / winnow 29.68);
+the twelve plan-identical sf1 totals now read 87.5 / 82.6 / 96.6 /
+90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 / 92.1 / 91.0 / 87.0
+(82.6-105.9, ~90.5 mean, -9%/+17%), and the plans are still
+byte-identical (the round-15/16/17 changes touched tests, tools, and
+this docstring only, not bench.py's own sessions).
 
 LLM_WINNOW_PAIRS SF1 CREEP-WATCH (named in the round-16 verdict,
 wrinkle 2): three consecutive ascending readings on the suite's most
@@ -122,7 +124,15 @@ re-runs the scale probe per the committed cadence
 (tools/scale_probe.py:90-96 — re-measure the winnow 10x->30x
 exponent and compare to its 0.77 bank / ~1.4 red line); if it lands
 back <= ~29, fold it as plain band width and note the resolution
-here.
+here.  ROUND-17 FIRST POST-WATCH OBSERVATION: the in-round control
+read 29.68 — the monotone ascent BROKE (below the r16 driver's
+30.22, with the sf1 total 87.0 / floor 4.013 both down and the
+sf0.1 winnow slot 5.075 also below its r16 driver 5.173), so the
+scale-probe trigger did not fire; 29.68 is neither a fresh ascent
+nor fully back under the old ~29 line, so the watch STAYS ARMED with
+the same trigger for the round-17 driver reading and beyond: a
+reading > 30.22 (a new non-r12 slot max resuming the climb) re-runs
+the probe; readings inside 26.6-30.2 keep folding as band width.
 Note these observations are all ALREADY best-of-2 per slot
 (SPARK_GRAFT_BENCH_RUNS defaults to 2 and the sf1 pass inherits it
 via SPARK_GRAFT_BENCH_RUNS_SCALE; the emitted "bench_runs" /
@@ -183,7 +193,12 @@ r15 elevation did not sustain: raw 35.29 s (mid-envelope; normalized
 74.9 solely because calib read 0.471), every slot at or below its
 r15 driver reading (largest move dblp_q5 -31%, largest rise +7%),
 and the sf1 pass landed in-band too (92.14 s total, floor 3.939,
-components_star 4.58 / ntile 1.12 / winnow 29.6).
+components_star 4.58 / ntile 1.12 / winnow 29.6).  The round-17
+in-round control read the same quiet-machine signature: raw 34.33 s
+mid-raw-envelope with calib 0.469 below the validity range
+(normalized 73.2 is the denominator artifact again), slot moves vs
+the r16 driver all inside sub-second noise (largest rise dblp_q2
++16% on a 0.66 s slot), sf1 in-band per the table above.
 """
 
 from __future__ import annotations
