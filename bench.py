@@ -111,6 +111,35 @@ the plans are still byte-identical (the round-15/16/17/18 changes
 touched tests, tools, the registry ledger, and this docstring only,
 not bench.py's own sessions).
 
+ROUND-18 IN-ROUND CONTROLS — DISTURBED-MACHINE, NOT FOLDED (two
+back-to-back controls on byte-identical plans read mutually
+inconsistent eruptions: control 1 sf0.1 raw 39.02 in-envelope but
+sf1 total 116.97 above the band ceiling; control 2 sf1 104.94 back
+in-band but sf0.1 raw 64.09 far out of the raw envelope, with the
+elevation confined to the FIRST 13 suite slots — minhash_lsh 2.0 ->
+10.3 s, pricing_summary 1.0 -> 3.9 s — while the LAST 8 slots all
+read normal, a time-windowed external burst sweeping through
+mid-run).  The code-free yardsticks prove the disturbance: both
+controls' bigram_floor_sec_sf1 (4.598 / 4.974) and
+calibration_scan_sec_sf1 (0.407 / 0.472) sit outside the ENTIRE
+r10-r17 driver history (floors 3.683-4.52, scans 0.339-0.384).
+SF1 FLOOR-VALIDITY RULE (the sf0.1 validity caveat extended to sf1,
+from these two defining observations): when a run's floor_sf1 lands
+outside ~3.5-4.6 (the historical floor range, outward-rounded), the
+machine is measurably disturbed at the text-scan working set and
+that run's sf1 totals/slots are NOT band-comparable — do not fold
+them; judge scaling by the probe instead.  Applied here: winnow's
+sf1 slot read 34.4 / 36.1 in the two controls (above its restated
+25.8-30.3 band, sf0.1 twin DOWN both times at 5.40 / 5.43 vs the
+r17 driver 5.573), which met the committed scale-probe re-run
+cadence's condition (b), so the probe was re-run the same session
+(fourth same-methodology replicate, tools/scale_probe.py): winnow
+exponent 0.77 — EXACTLY its banked r14 value, rows identical
+(38,933 -> 3,493), spans 0.67 / k32 1.34 / scaled 0.57 all inside
+their spreads and under their red lines.  The pair disciplines are
+intact; the two controls' absolute elevations are environmental by
+both the yardstick evidence and the measured exponents.
+
 LLM_WINNOW_PAIRS SF1 CREEP-WATCH (named in the round-16 verdict,
 wrinkle 2): three consecutive ascending readings on the suite's most
 expensive slot — 28.49 (r15 driver) -> 29.6 (r16 in-round) -> 30.22

@@ -69,6 +69,30 @@ item 6 asked for, same methodology on a different day):
     llm_semdedup_scaled       t_10x  5.16 s  t_30x 10.98 s  ratio 2.13
                               exponent 0.69   rows 20,020 -> 60,020
 
+MEASURED (round 18 — triggered by cadence condition (b) below: the
+winnow sf1 bench slot read 34.4/36.1 in two in-round controls whose
+code-free floors sat outside the entire driver-run history — see
+bench.py's ROUND-18 IN-ROUND CONTROLS paragraph; same methodology,
+run the same session as those controls):
+
+    llm_substring_spans       t_10x  9.30 s  t_30x 19.50 s  ratio 2.10
+                              exponent 0.67   rows 2,328 -> 6,988
+    llm_winnow_pairs          t_10x 32.49 s  t_30x 75.58 s  ratio 2.33
+                              exponent 0.77   rows 38,933 -> 3,493
+    llm_semdedup_trained_k32  t_10x  5.85 s  t_30x 25.44 s  ratio 4.35
+                              exponent 1.34   rows 20,020 -> 60,020
+    llm_semdedup_scaled       t_10x  6.56 s  t_30x 12.22 s  ratio 1.86
+                              exponent 0.57   rows 20,020 -> 60,020
+
+The round-18 re-run answered exactly the question it was armed for:
+with the bench slot's ABSOLUTE time elevated on a disturbed machine,
+the winnow exponent read 0.77 — identical to its banked r14 value
+with identical row counts — so the pair discipline had not regressed
+and the slot elevation was environmental.  Cumulative same-
+methodology spreads over four runs: spans 0.65-0.81, winnow
+0.71-0.78, scaled 0.57-0.73, k32 1.15-1.41 — every subject inside
+its noise allowance and under its red line.
+
 Probe noise band (round-12 item 7 — second data point, plus a
 same-methodology replicate): vs round 12 the spans exponent moved
 0.75 -> 0.76 (±0.01) and winnow 0.92 -> 0.71 (-0.21, in exactly the
