@@ -104,9 +104,13 @@ the named watch below), twelfth (round-17 in-round control: 87.0,
 floor_sf1 4.013, components_star 3.75 / ntile 1.06 / winnow 29.68),
 and thirteenth (the driver's official BENCH_r17: 87.46, floor_sf1
 4.112, components_star 4.00 / ntile 1.11 in-band, winnow 26.54 — the
-watch resolution below); the thirteen plan-identical sf1 totals now
-read 87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
-92.1 / 91.0 / 87.0 / 87.5 (82.6-105.9, ~90.3 mean, -9%/+17%), and
+watch resolution below), and fourteenth (round-18 in-round control 3
+— the clean post-disturbance run, see the ROUND-18 paragraph below:
+89.27, floor_sf1 4.399, components_star 4.06 / ntile 1.25 / winnow
+27.92 all in-band); the fourteen plan-identical sf1 totals now read
+87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
+92.1 / 91.0 / 87.0 / 87.5 / 89.3 (82.6-105.9, ~90.2 mean,
+-8%/+17%), and
 the plans are still byte-identical (the round-15/16/17/18 changes
 touched tests, tools, the registry ledger, and this docstring only,
 not bench.py's own sessions).
@@ -138,7 +142,14 @@ exponent 0.77 — EXACTLY its banked r14 value, rows identical
 (38,933 -> 3,493), spans 0.67 / k32 1.34 / scaled 0.57 all inside
 their spreads and under their red lines.  The pair disciplines are
 intact; the two controls' absolute elevations are environmental by
-both the yardstick evidence and the measured exponents.
+both the yardstick evidence and the measured exponents.  A THIRD
+control run after the probe came back fully clean — sf0.1 raw 37.55
+/ normalized 51.01 both mid-envelope with calib 0.736 in the
+validity range, sf1 total 89.27 mid-band with floor_sf1 4.399 and
+scan_sf1 0.377 back inside their historical ranges, and winnow
+27.92 back inside its restated 25.8-30.3 band — confirming the
+burst was transient; that third run IS fold-eligible and is the
+fourteenth observation in the band table above.
 
 LLM_WINNOW_PAIRS SF1 CREEP-WATCH (named in the round-16 verdict,
 wrinkle 2): three consecutive ascending readings on the suite's most
