@@ -257,7 +257,22 @@ the total 39.29 sat inside the raw envelope, with the textbook
 co-tenancy signature — both yardsticks at extremes simultaneously
 (shuffle 0.799 a driver-run max, scan 0.298 above the prior
 all-time max 0.281), a uniform slot lift, and normalized 49.17
-inside the normalized envelope anyway.  The round-16 in-round control confirmed the
+inside the normalized envelope anyway.  BURST CLAUSE (from round-18
+in-round control 2, the defining observation): the calibration
+slots run at the START of the suite, so a co-tenant burst arriving
+MID-RUN evades every yardstick-based caveat — control 2 read raw
+64.09 s (far outside the raw envelope) with calib 0.767, scan
+0.263, and floor 0.633 all at historical values, because the
+elevation was confined to a CONTIGUOUS run of slots (the first 13:
+minhash_lsh 2.0 -> 10.3 s, pricing_summary 1.0 -> 3.9 s) while the
+last 8 slots all read normal on the byte-identical plan.  A raw/
+normalized exceedance whose per-slot deltas are strongly
+non-uniform in suite ORDER — a contiguous block at 2-5x its
+historical value, the remainder at historical values — is the
+time-windowed burst signature: re-run a control instead of
+investigating (the round-18 third control landed mid-envelope on
+every yardstick, confirming transience); only a UNIFORM slot lift
+that survives a quiet-machine control indicts the plans.  The round-16 in-round control confirmed the
 r15 elevation did not sustain: raw 35.29 s (mid-envelope; normalized
 74.9 solely because calib read 0.471), every slot at or below its
 r15 driver reading (largest move dblp_q5 -31%, largest rise +7%),
