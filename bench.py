@@ -110,7 +110,7 @@ watch resolution below), and fourteenth (round-18 in-round control 3
 27.92 all in-band); the fourteen plan-identical sf1 totals now read
 87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
 92.1 / 91.0 / 87.0 / 87.5 / 89.3 (82.6-105.9, ~90.2 mean,
--8%/+17%), and
+-9%/+17%), and
 the plans are still byte-identical (the round-15/16/17/18 changes
 touched tests, tools, the registry ledger, and this docstring only,
 not bench.py's own sessions).
