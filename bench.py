@@ -107,11 +107,16 @@ and thirteenth (the driver's official BENCH_r17: 87.46, floor_sf1
 watch resolution below), and fourteenth (round-18 in-round control 3
 — the clean post-disturbance run, see the ROUND-18 paragraph below:
 89.27, floor_sf1 4.399, components_star 4.06 / ntile 1.25 / winnow
-27.92 all in-band); the fourteen plan-identical sf1 totals now read
+27.92 all in-band); the fifteenth is the driver's official BENCH_r18
+(99.698, floor_sf1 4.046 — the winnow 31.64 reading adjudicated in
+the ROUND-19 paragraph below) and the sixteenth through eighteenth
+are the three round-19 in-round controls (91.04 / 97.88 / 87.09,
+floors_sf1 3.802 / 3.973 / 3.976 all valid, winnow 29.23 / 29.23 /
+27.30 all in-band); the eighteen plan-identical sf1 totals now read
 87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
-92.1 / 91.0 / 87.0 / 87.5 / 89.3 (82.6-105.9, ~90.2 mean,
--9%/+17%), and
-the plans are still byte-identical (the round-15/16/17/18 changes
+92.1 / 91.0 / 87.0 / 87.5 / 89.3 / 99.7 / 91.0 / 97.9 / 87.1
+(82.6-105.9, ~91.1 mean, -10%/+17% outward-rounded), and
+the plans are still byte-identical (the round-15/16/17/18/19 changes
 touched tests, tools, the registry ledger, and this docstring only,
 not bench.py's own sessions).
 
@@ -126,7 +131,7 @@ read normal, a time-windowed external burst sweeping through
 mid-run).  The code-free yardsticks prove the disturbance: both
 controls' bigram_floor_sec_sf1 (4.598 / 4.974) and
 calibration_scan_sec_sf1 (0.407 / 0.472) sit outside the ENTIRE
-r10-r17 driver history (floors 3.683-4.52, scans 0.339-0.384).
+r10-r18 driver history (floors 3.683-4.52, scans 0.339-0.386).
 SF1 FLOOR-VALIDITY RULE (the sf0.1 validity caveat extended to sf1,
 from these two defining observations): when a run's floor_sf1 lands
 outside ~3.5-4.6 (the historical floor range, outward-rounded), the
@@ -150,6 +155,38 @@ scan_sf1 0.377 back inside their historical ranges, and winnow
 27.92 back inside its restated 25.8-30.3 band — confirming the
 burst was transient; that third run IS fold-eligible and is the
 fourteenth observation in the band table above.
+
+ROUND-19 WINNOW ADJUDICATION (the round-18 verdict's one watch item:
+the driver's BENCH_r18 read the winnow sf1 slot at 31.641, ~4% above
+its restated 25.8-30.3 band, on an otherwise unremarkable run — sf1
+total 99.698 in-band, floor_sf1 4.046 valid, sf0.1 twin 5.532 flat
+vs r17's 5.573): three round-19 in-round controls on byte-identical
+plans (the round-19 package diff is the rotation-ledger fold +
+comments only) read the slot at 29.230 / 29.226 / 27.298 — all
+inside the old band, with valid floors (3.802 / 3.973 / 3.976) and
+the sf0.1 twin flat-to-down (5.514 / 5.081 / 5.073).  The 31.64 did
+not repeat: per the verdict's fold-and-widen instruction the slot
+band is restated outward from the full non-r12 driver history
+r9-r18 (30.107 / 26.632 / 25.838 / 27.797 / 28.209 / 28.492 /
+30.22 / 26.542 / 31.641) to 25.8-31.7, and the slot stays under the
+standing two-part sf1 attribution rule with no special trigger.
+The scale probe did NOT re-run: its committed cadence condition (b)
+requires an out-of-band move, and every round-19 winnow reading sat
+inside the band.  Round-19 control context (same shape as round 18,
+milder): control 1's sf0.1 raw read 43.41 (above the raw envelope)
+with calib 0.567 below validity and a broad +10-30% mid-suite lift —
+attributed to measured residual load (5-min load average ~6 from
+correctness jobs that finished just before the run; the suite-start
+yardsticks were already quiet, the burst-clause evasion pattern);
+control 2's raw read 39.70 IN-envelope but with calib 1.007 above
+validity and the lift moved to the FIRST four slots (+38-74%) while
+the back half read flat-to-down — the non-reproducing slot pattern
+across two runs on identical plans that marks environment; control
+3 was fully clean (raw 33.64 mid-envelope, calib 0.619 in-validity,
+normalized 54.34 in-envelope, zero slots >+20% vs the r18 driver,
+sf1 87.09 mid-band) — confirming transience, the r18 three-control
+precedent repeated.  All three controls' sf1 passes had valid floors
+and are folded as observations 16-18 above.
 
 LLM_WINNOW_PAIRS SF1 CREEP-WATCH (named in the round-16 verdict,
 wrinkle 2): three consecutive ascending readings on the suite's most
@@ -219,10 +256,12 @@ were also at their maxima, shuffle 0.759 = r9's max and scan 0.281 =
 all-time max, the signature of machine-wide co-tenancy during the
 run, not plan drift): judge the sf0.1 headline against the
 MULTI-ROUND fixed-21-slot-suite envelope, normalized totals
-53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 / 55.7 / 49.2 across rounds
-10-17 (48.1-55.7, ~51.5 mean, about -7%/+8%; bounds rounded OUTWARD
-so the defining observations sit inside their own envelope — r14
-read 48.173), with the same two-part
+53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 / 55.7 / 49.2 / 46.7 across
+rounds 10-18 (46.7-55.7, ~51.0 mean, about -9%/+10%; bounds rounded
+OUTWARD so the defining observations sit inside their own envelope —
+r14 read 48.173, r18 read 46.715 below the previously-written 48.1
+floor on an in-raw-envelope run, the denominator clause's benign
+direction), with the same two-part
 attribution rule as sf1: investigate only a normalized total that
 (a) leaves the envelope AND (b) cannot be attributed to the
 yardsticks — both calibrations flat (or moving the other way) while
@@ -241,7 +280,7 @@ reading is ATTRIBUTABLE — denominator motion, fold it, do not
 investigate; only a normalized exceedance where slots actually rose
 against flat-or-falling yardsticks is a signal.  VALIDITY CAVEAT:
 the normalized envelope only applies while calibration_sec itself
-sits in its driver-run range (0.60-0.80 across r10-r17; outward
+sits in its driver-run range (0.60-0.80 across r10-r18; outward
 rounding again — r10 read 0.608 and r17 read 0.799, the first
 driver reading above the previously-written 0.76 edge, so driver
 runs CAN exceed an inward-folded range and the range widens OUTWARD
@@ -249,8 +288,9 @@ like every other envelope here) — on a quiet machine the
 synthetic-shuffle slot can halve (in-round controls have read
 0.46-0.47), exploding value_per_calibration with no query movement
 at all; outside that calib range judge the RAW total against the
-driver-run raw envelope (32.5-40.8 s across r10-r17, ~37.0 mean;
-r10 read 32.597, r15 read 40.75) plus slot-level moves.  The
+driver-run raw envelope (32.5-40.8 s across r10-r18, ~37.0 mean;
+r10 read 32.597, r15 read 40.75, r18 read 37.232) plus slot-level
+moves.  The
 caveat's first driver-run application was BENCH_r17 (calib 0.799,
 just past the then-written 0.60-0.76): judged raw per the caveat,
 the total 39.29 sat inside the raw envelope, with the textbook
