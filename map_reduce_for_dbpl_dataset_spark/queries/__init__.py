@@ -232,7 +232,10 @@ _LAST_CHECKED: dict[str, int] = {
 # window: 50/50 green, FAILURES 0 (plus smoke 25 rows, alt-sf_dir and
 # chdir-independence flows green), and tools/check.py over the other
 # 99: 99 pass / 0 fail / 0 rows-only — so the round-20 window is
-# pre-verified too, not just predicted.  Post-fold prediction: the
+# pre-verified too, not just predicted.  Cold pytest at the same
+# head (post-ledger-edit, cache invalidated): 180 passed / 1 skipped
+# (the container-gated transformWithState execution test) in 21:18.
+# Post-fold prediction: the
 # round-20 window = the 49 round-17 rows + the first round-18 row by
 # surface-risk order (stream_checkpoint_recovery again — first
 # alphabetically of the tier's six stream_* rows, which tie at
