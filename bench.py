@@ -112,13 +112,21 @@ watch resolution below), and fourteenth (round-18 in-round control 3
 the ROUND-19 paragraph below) and the sixteenth through eighteenth
 are the three round-19 in-round controls (91.04 / 97.88 / 87.09,
 floors_sf1 3.802 / 3.973 / 3.976 all valid, winnow 29.23 / 29.23 /
-27.30 all in-band); the eighteen plan-identical sf1 totals now read
+27.30 all in-band); the nineteenth is the driver's official
+BENCH_r19 (95.702, floor_sf1 3.621 — a new low edge of the
+historical floor range, still inside the ~3.5-4.6 validity rule —
+scan_sf1 0.415, a new high edge of the historical scan range, see
+the ROUND-20 paragraph below; winnow 31.312 inside its restated
+25.8-31.7 band, closing the round-18 winnow watch benign) and the
+twentieth the round-20 in-round control (91.66, floor_sf1 3.664,
+scan_sf1 0.339, components_star 4.12 / ntile 1.16 / winnow 28.51
+all in-band); the twenty plan-identical sf1 totals now read
 87.5 / 82.6 / 96.6 / 90.9 / 105.9 / 92.8 / 86.1 / 85.3 / 88.7 /
-92.1 / 91.0 / 87.0 / 87.5 / 89.3 / 99.7 / 91.0 / 97.9 / 87.1
-(82.6-105.9, ~91.1 mean, -10%/+17% outward-rounded), and
-the plans are still byte-identical (the round-15/16/17/18/19 changes
-touched tests, tools, the registry ledger, and this docstring only,
-not bench.py's own sessions).
+92.1 / 91.0 / 87.0 / 87.5 / 89.3 / 99.7 / 91.0 / 97.9 / 87.1 /
+95.7 / 91.7 (82.6-105.9, ~91.3 mean, -10%/+16% outward-rounded),
+and the plans are still byte-identical (the round-15/16/17/18/19/20
+changes touched tests, tools, the registry ledger, and this
+docstring only, not bench.py's own sessions).
 
 ROUND-18 IN-ROUND CONTROLS — DISTURBED-MACHINE, NOT FOLDED (two
 back-to-back controls on byte-identical plans read mutually
@@ -188,6 +196,38 @@ sf1 87.09 mid-band) — confirming transience, the r18 three-control
 precedent repeated.  All three controls' sf1 passes had valid floors
 and are folded as observations 16-18 above.
 
+ROUND-20 ADJUDICATION OF THE BENCH_r19 NORMALIZED EXCEEDANCE (the
+round-19 verdict's one watch item: the driver's BENCH_r19 read
+value_per_calibration 59.67, above the then-written 46.7-55.7
+normalized envelope, on an otherwise in-budget run — raw 39.561
+inside the raw envelope, calib 0.663 inside the 0.60-0.80 validity
+range but DOWN -17% vs r18's 0.797 while the suite rose +6%, so
+about two-thirds of the exceedance was denominator motion; the
+remaining lift was broad and mild, eight slots 5-10% above their
+r10-r18 driver maxima SIMULTANEOUSLY — revenue_by_nation 2.508,
+pricing_summary 1.377, top3 0.548, dblp_q2 0.888, bpe_encode 3.809
+among them — the r15 co-tenancy signature on byte-identical plans):
+the round-20 settled in-round control (run first thing in the round
+on a quiet machine, 1-min load 0.00, before any other Spark work —
+the round-19 settle-gap lesson applied) read raw 37.88 mid-envelope
+with calib 0.438 BELOW the validity range (the quiet-machine
+denominator artifact; normalized 86.5 judged raw per the caveat),
+scan 0.276 / floor 0.676 at historical values, and EVERY one of the
+eight elevated slots back at or below its historical band
+(revenue_by_nation 1.560, pricing_summary 0.887, top3 0.358,
+dblp_q2 0.603, bpe_encode 3.493 — moves of -8% to -38% vs the r19
+driver), with the only rises (+10-18%) confined to the
+iterative/window/semdedup shapes whose committed slot noise is
+wider than that; the control's sf1 pass landed mid-band (91.66,
+floor_sf1 3.664 valid, scan_sf1 0.339, winnow 28.511 in-band).
+The lift did not repeat on byte-identical plans: the exceedance is
+ENVIRONMENT-ATTRIBUTED per the two-part rule, BENCH_r19 is folded,
+and the normalized envelope is restated OUTWARD per the committed
+discipline to 46.7-59.7 (driver rounds 10-19, the defining 59.67
+inside its own envelope); scan_sf1's recorded historical range
+extends to 0.339-0.415 and floor_sf1's historical low edge to
+3.621, both within the unchanged ~3.5-4.6 floor-validity rule.
+
 LLM_WINNOW_PAIRS SF1 CREEP-WATCH (named in the round-16 verdict,
 wrinkle 2): three consecutive ascending readings on the suite's most
 expensive slot — 28.49 (r15 driver) -> 29.6 (r16 in-round) -> 30.22
@@ -256,12 +296,13 @@ were also at their maxima, shuffle 0.759 = r9's max and scan 0.281 =
 all-time max, the signature of machine-wide co-tenancy during the
 run, not plan drift): judge the sf0.1 headline against the
 MULTI-ROUND fixed-21-slot-suite envelope, normalized totals
-53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 / 55.7 / 49.2 / 46.7 across
-rounds 10-18 (46.7-55.7, ~51.0 mean, about -9%/+10%; bounds rounded
-OUTWARD so the defining observations sit inside their own envelope —
-r14 read 48.173, r18 read 46.715 below the previously-written 48.1
-floor on an in-raw-envelope run, the denominator clause's benign
-direction), with the same two-part
+53.6 / 48.8 / 51.7 / 51.4 / 48.2 / 53.7 / 55.7 / 49.2 / 46.7 / 59.7
+across rounds 10-19 (46.7-59.7, ~51.9 mean, about -10%/+15%; bounds
+rounded OUTWARD so the defining observations sit inside their own
+envelope — r14 read 48.173, r18 read 46.715 below the
+previously-written 48.1 floor, and r19 read 59.67 above the
+previously-written 55.7 ceiling, adjudicated environmental in the
+ROUND-20 paragraph above), with the same two-part
 attribution rule as sf1: investigate only a normalized total that
 (a) leaves the envelope AND (b) cannot be attributed to the
 yardsticks — both calibrations flat (or moving the other way) while
@@ -280,7 +321,7 @@ reading is ATTRIBUTABLE — denominator motion, fold it, do not
 investigate; only a normalized exceedance where slots actually rose
 against flat-or-falling yardsticks is a signal.  VALIDITY CAVEAT:
 the normalized envelope only applies while calibration_sec itself
-sits in its driver-run range (0.60-0.80 across r10-r18; outward
+sits in its driver-run range (0.60-0.80 across r10-r19; outward
 rounding again — r10 read 0.608 and r17 read 0.799, the first
 driver reading above the previously-written 0.76 edge, so driver
 runs CAN exceed an inward-folded range and the range widens OUTWARD
@@ -288,8 +329,8 @@ like every other envelope here) — on a quiet machine the
 synthetic-shuffle slot can halve (in-round controls have read
 0.46-0.47), exploding value_per_calibration with no query movement
 at all; outside that calib range judge the RAW total against the
-driver-run raw envelope (32.5-40.8 s across r10-r18, ~37.0 mean;
-r10 read 32.597, r15 read 40.75, r18 read 37.232) plus slot-level
+driver-run raw envelope (32.5-40.8 s across r10-r19, ~37.3 mean;
+r10 read 32.597, r15 read 40.75, r19 read 39.561) plus slot-level
 moves.  The
 caveat's first driver-run application was BENCH_r17 (calib 0.799,
 just past the then-written 0.60-0.76): judged raw per the caveat,
