@@ -236,6 +236,9 @@ _LAST_CHECKED: dict[str, int] = {
 # over the other 99: 99 pass / 0 fail / 0 rows-only — so the
 # round-21 window is pre-verified too, not just predicted; the plan
 # audit re-ran green at the same head (324/324, PLANS.md not stale).
+# Cold pytest at the same head (post-ledger-edit, cache invalidated):
+# 180 passed / 1 skipped (the container-gated transformWithState
+# execution test) in 19:01.
 # Post-fold prediction: the round-21 window = the 49 round-18 rows +
 # the first round-19 row by surface-risk order (stream_dedup_parity —
 # first alphabetically of the tier's three stream_* rows, which tie
