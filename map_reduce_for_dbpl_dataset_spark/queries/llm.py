@@ -1039,19 +1039,37 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         d.unionAll(mut).repartition(n_parallel).localCheckpoint(eager=False)
     )
-    hs = corpus.select(
-        "doc_id",
-        F.transform(word_shingles(tokens(F.col("text")), 3), hash60).alias("h"),
-    ).filter(F.size("h") >= W)
-    fps = hs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("h") - W),
-                lambda i: F.array_min(F.slice(F.col("h"), i + 1, F.lit(W))),
-            )
-        ).alias("fps"),
-    )
+    # Sliding-window minimum as W-1 zip_with/least passes over offset
+    # slices of the hash sequence (the word_shingles construction):
+    # m[i] = least(h[i], ..., h[i+W-1]).  The earlier
+    # transform(sequence(i), array_min(slice(h, i+1, W))) form
+    # re-sliced (allocated) a W-array per position — measured ~3x
+    # slower per evaluation at the sf1 point with identical output.
+    # The slices of an empty/short h are empty (m clamped at 0), so
+    # docs with < W shingles contribute no fingerprints and the old
+    # size(h) >= W filter is subsumed (a separate filter would also
+    # re-evaluate the whole hash chain per row when pushed down).
+    h = F.transform(word_shingles(tokens(F.col("text")), 3), hash60)
+
+    def _slide_min(hc):
+        m = F.greatest(F.size(hc) - (W - 1), F.lit(0))
+        acc = F.slice(hc, 1, m)
+        for off in range(1, W):
+            acc = F.zip_with(acc, F.slice(hc, off + 1, m), lambda a, b: F.least(a, b))
+        return acc
+
+    # Pin the fingerprint ARRAYS before the explode: Generate planning
+    # (InferFiltersFromGenerate + alias-substituting filter pushdown)
+    # otherwise copies the whole derivation into an inferred
+    # size(...) > 0 filter, where the per-position slice of the
+    # (inlined, interpreted — higher-order lambdas are exempt from
+    # codegen subexpression elimination) hash chain re-evaluates the
+    # md5 pipeline once per window position: measured 27 s for the
+    # explode of a 2.7 s derivation at sf1; pinned, the explode is
+    # free (plans/r21/llm_winnow_pairs_{before,after}.txt).
+    fps = corpus.select(
+        "doc_id", F.array_distinct(_slide_min(h)).alias("fps")
+    ).localCheckpoint(eager=False)
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
     # document frequency rides the fp shuffle as a window count (no
     # second aggregate subtree — same move as lsh_sized_buckets)

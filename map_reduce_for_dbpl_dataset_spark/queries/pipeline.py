@@ -1881,22 +1881,25 @@ SPAN_DF_CAP = 64  # drop shingle keys seen in more docs (boilerplate guard)
 def _span_shingled(d: DataFrame) -> DataFrame:
     """Step 1 of q_substring_spans: positional K-shingles keyed by
     hash60 — shuffles carry (doc_id, position, 8-byte key), never span
-    text.  Narrow: one posexplode of the per-doc shingle array."""
-    toks = tokens(F.col("text"))
-    return d.select(
+    text.  Narrow: one posexplode of the per-doc shingle array.
+
+    The shingle array is built by word_shingles (offset-slice
+    zip_with concats — position i of its output IS token position i,
+    exactly the old transform(sequence(i), concat_ws(slice(toks, i+1,
+    K))) enumeration with the short-tail shingles already excluded by
+    its length guard).  The tokenization is projected SEPARATELY and
+    referenced twice downstream so CollapseProject keeps it one
+    per-row evaluation: inlined, the per-position slice(tokens(text),
+    i+1, K) inside the (interpreted — higher-order lambdas are exempt
+    from codegen subexpression elimination) lambda re-ran the whole
+    regex/split chain once per token position, and Generate planning
+    (InferFiltersFromGenerate) copied the same monster into an
+    inferred filter — measured 2.3x on the full query at the sf1
+    point (plans/r21/llm_substring_spans_{before,after}.txt)."""
+    t = d.select("doc_id", tokens(F.col("text")).alias("_t"))
+    return t.select(
         "doc_id",
-        F.posexplode(
-            F.filter(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.greatest(F.size(toks) - SPAN_K, F.lit(0)),
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SPAN_K)),
-                ),
-                lambda s: F.size(F.split(s, " ")) >= SPAN_K,
-            )
-        ).alias("p", "sh"),
+        F.posexplode(word_shingles(F.col("_t"), SPAN_K)).alias("p", "sh"),
     ).select("doc_id", "p", hash60(F.col("sh")).alias("sk"))
 
 
