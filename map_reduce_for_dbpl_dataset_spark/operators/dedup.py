@@ -389,9 +389,21 @@ def ngram_jaccard_pairs_prefix(
     ranked = ex.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
     ).withColumn("_rk", F.row_number().over(rank_w))
-    # probe prefix length = sz - ceil(t*sz) + 1 (worst-case partner)
-    prefix = ranked.filter(
-        F.col("_rk") <= F.col("_sz") - _ceil(F.lit(t) * F.col("_sz")) + 1
+    # probe prefix length = sz - ceil(t*sz) + 1 (worst-case partner).
+    # The prefix table feeds BOTH sides of the candidate self-join;
+    # the sides differ in projection aliases, so exchange reuse does
+    # not fire and the whole df/rank window pipeline would execute
+    # once per side (measured ~2.5 s of a ~8 s query re-run at the
+    # sf1 point).  spread_for_pair_join pins it once and spreads the
+    # quadratic prefix-bucket fan-out over AQE-exempt key-hashed
+    # partitions (operators/pairs.py rationale).
+    from .pairs import spread_for_pair_join
+
+    prefix = spread_for_pair_join(
+        ranked.filter(
+            F.col("_rk") <= F.col("_sz") - _ceil(F.lit(t) * F.col("_sz")) + 1
+        ),
+        "_sh",
     )
     a = prefix.select(
         F.col("_id").alias("id_a"), F.col("_sz").alias("_sza"), F.col("_rk").alias("_rka"), "_sh"

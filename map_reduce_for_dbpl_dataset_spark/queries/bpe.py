@@ -238,11 +238,23 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_vocab_pieces"),
     )
-    w = w.join(F.broadcast(vocab), "word", "left")
-    # slow path (out-of-vocab words only): apply the R rules in
+    # Piece counts are a function of the word TYPE, so compute them
+    # once per distinct type — one partial-agg'd distinct over 8-byte-
+    # ish words — and broadcast the (word, n_sym) map back onto the
+    # occurrence stream, instead of running the OOV replace chain
+    # (regexp seq-encode + R literal replaces + split) on every
+    # occurrence.  Occurrences outnumber types ~9x in the fixtures;
+    # the Zipf head makes the ratio grow with the corpus.  The type
+    # table is the corpus's [a-z0-9]+ word-type vocabulary — the
+    # quantity the module docstring already bounds (broadcast-scale
+    # even at web scale; if it ever outgrew that, the same join
+    # degrades to a shuffle on 8-byte word keys, never the corpus).
+    types = w.select("word").distinct()
+    t = types.join(F.broadcast(vocab), "word", "left")
+    # slow path (out-of-vocab types only): apply the R rules in
     # learned order as a nested literal-replace expression
     for r, m in enumerate(merges, 1):
-        w = w.crossJoin(F.broadcast(m.select(F.col("pair").alias(f"_p{r}"))))
+        t = t.crossJoin(F.broadcast(m.select(F.col("pair").alias(f"_p{r}"))))
     seq = F.regexp_replace("word", "(.)", r"($1)")
     for r in range(1, len(merges) + 1):  # early-stop may yield < R rules
         p = F.col(f"_p{r}")
@@ -255,7 +267,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("("), F.replace(p, F.lit(" "), F.lit("~")), F.lit(")")
             ),
         )
-    # when() evaluates the fallback branch only for OOV rows
+    # when() evaluates the fallback branch only for OOV types
     n_sym = F.when(F.col("_vocab_pieces").isNotNull(), F.col("_vocab_pieces")).otherwise(
         F.size(
             F.split(
@@ -268,12 +280,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    word_sym = t.select("word", n_sym.alias("_n_sym"))
     return (
-        w.groupBy("doc_id")
+        w.join(F.broadcast(word_sym), "word")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum(F.length("word")).alias("n_chars"),
-            F.sum(n_sym).alias("n_pieces"),
+            F.sum("_n_sym").alias("n_pieces"),
         )
         .withColumn(
             "compression_micro", F.expr("(n_chars * 1000000) div n_pieces")

@@ -999,6 +999,31 @@ WINNOW_MAX_DF = 50  # drop boilerplate fingerprints shared too widely
 WINNOW_MIN_SHARED = 8
 
 
+def _winnow_fps(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, fps): distinct winnowing fingerprints
+    per document.
+
+    Sliding-window minimum as W-1 zip_with/least passes over offset
+    slices of the hash sequence (the word_shingles construction):
+    m[i] = least(h[i], ..., h[i+W-1]).  The earlier
+    transform(sequence(i), array_min(slice(h, i+1, W))) form re-sliced
+    (allocated) a W-array per position — measured ~3x slower per
+    evaluation at the sf1 point with identical output.  The slices of
+    an empty/short h are empty (m clamped at 0), so docs with < W
+    shingles contribute no fingerprints and a separate size(h) >= W
+    filter (which would re-evaluate the whole hash chain per row when
+    pushed down) is subsumed.  Shared with tools/plan_audit.py
+    winnow_fps[pre-checkpoint], which audits this subtree ahead of the
+    caller's lineage cut."""
+    W = WINNOW_W
+    h = F.transform(word_shingles(tokens(F.col("text")), 3), hash60)
+    m = F.greatest(F.size(h) - (W - 1), F.lit(0))
+    acc = F.slice(h, 1, m)
+    for off in range(1, W):
+        acc = F.zip_with(acc, F.slice(h, off + 1, m), lambda a, b: F.least(a, b))
+    return corpus.select("doc_id", F.array_distinct(acc).alias("fps"))
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -1039,25 +1064,6 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         d.unionAll(mut).repartition(n_parallel).localCheckpoint(eager=False)
     )
-    # Sliding-window minimum as W-1 zip_with/least passes over offset
-    # slices of the hash sequence (the word_shingles construction):
-    # m[i] = least(h[i], ..., h[i+W-1]).  The earlier
-    # transform(sequence(i), array_min(slice(h, i+1, W))) form
-    # re-sliced (allocated) a W-array per position — measured ~3x
-    # slower per evaluation at the sf1 point with identical output.
-    # The slices of an empty/short h are empty (m clamped at 0), so
-    # docs with < W shingles contribute no fingerprints and the old
-    # size(h) >= W filter is subsumed (a separate filter would also
-    # re-evaluate the whole hash chain per row when pushed down).
-    h = F.transform(word_shingles(tokens(F.col("text")), 3), hash60)
-
-    def _slide_min(hc):
-        m = F.greatest(F.size(hc) - (W - 1), F.lit(0))
-        acc = F.slice(hc, 1, m)
-        for off in range(1, W):
-            acc = F.zip_with(acc, F.slice(hc, off + 1, m), lambda a, b: F.least(a, b))
-        return acc
-
     # Pin the fingerprint ARRAYS before the explode: Generate planning
     # (InferFiltersFromGenerate + alias-substituting filter pushdown)
     # otherwise copies the whole derivation into an inferred
@@ -1067,9 +1073,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 pipeline once per window position: measured 27 s for the
     # explode of a 2.7 s derivation at sf1; pinned, the explode is
     # free (plans/r21/llm_winnow_pairs_{before,after}.txt).
-    fps = corpus.select(
-        "doc_id", F.array_distinct(_slide_min(h)).alias("fps")
-    ).localCheckpoint(eager=False)
+    fps = _winnow_fps(corpus).localCheckpoint(eager=False)
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
     # document frequency rides the fp shuffle as a window count (no
     # second aggregate subtree — same move as lsh_sized_buckets)

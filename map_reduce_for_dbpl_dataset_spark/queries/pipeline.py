@@ -2098,9 +2098,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams and drop out (none in the fixtures). Hot bigrams are
     ordinary join skew — AQE-splittable, no collect anywhere."""
     d = load_table(spark, sf_dir, "documents")
-    big = d.select(
-        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bg")
-    ).select(
+    # Pin the bigram ARRAYS before the explode (the winnow move):
+    # Generate planning (InferFiltersFromGenerate + filter pushdown)
+    # otherwise copies the tokenize+shingle chain into an inferred
+    # size(...) > 0 filter, re-running the regex/split pass once more
+    # per document row.
+    bgs = d.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 2).alias("bgs")
+    ).localCheckpoint(eager=False)
+    big = bgs.select("doc_id", F.explode("bgs").alias("bg")).select(
         "doc_id",
         F.xxhash64("bg").alias("h_bg"),
         F.xxhash64(F.substring_index("bg", " ", 1)).alias("h_w1"),

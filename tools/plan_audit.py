@@ -374,7 +374,10 @@ CHECKS: dict[str, list[tuple[str, str]]] = {
         ("post-fixpoint assembly is narrow (no re-keying exchange)", "!Exchange"),
     ],
     "dblp_coauthor_components_star": [
-        ("final labeling join is an equi join", "SortMergeJoin"),
+        # shuffled-hash since the session prefers SHJ when its size
+        # guard holds (session.py); the audited property is that the
+        # labeling join is a hash/merge EQUI join, never a cartesian
+        ("final labeling join is an equi join", "ShuffledHashJoin"),
         ("star rounds feed from checkpoints", "Scan ExistingRDD"),
     ],
     "llm_ann_ivf": [
@@ -1039,33 +1042,14 @@ def _winnow_fps_plan(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from map_reduce_for_dbpl_dataset_spark.functions.text import (
-        hash60,
-        tokens,
-        word_shingles,
-    )
     from map_reduce_for_dbpl_dataset_spark.queries.llm import (
         WINNOW_MAX_DF,
-        WINNOW_W,
+        _winnow_fps,
     )
     from map_reduce_for_dbpl_dataset_spark.sources.parquet import load_table
 
-    W = WINNOW_W
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    hs = d.select(
-        "doc_id",
-        F.transform(word_shingles(tokens(F.col("text")), 3), hash60).alias("h"),
-    ).filter(F.size("h") >= W)
-    fps = hs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("h") - W),
-                lambda i: F.array_min(F.slice(F.col("h"), i + 1, F.lit(W))),
-            )
-        ).alias("fps"),
-    )
-    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    ex = _winnow_fps(d).select("doc_id", F.explode("fps").alias("fp"))
     return ex.withColumn(
         "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
     ).filter(F.col("_df") <= WINNOW_MAX_DF)
