@@ -499,8 +499,16 @@ def pq_adc_topk(
 
     def _subs(df: DataFrame, idc: str, out: str) -> DataFrame:
         # sub_dim comes from the vector column itself (size/n_sub), so
-        # the operator is dim-agnostic without a driver-side action
-        q = quantize(F.col(vec_col), scale)
+        # the operator is dim-agnostic without a driver-side action.
+        # Quantize in a SEPARATE projection (referenced n_sub + 1
+        # times, so CollapseProject keeps it one per-row evaluation):
+        # inlined, the quantize transform would re-run once per
+        # subspace slice inside the explode's array constructor (the
+        # round-21 Generate-planning finding, OPTIMIZATION_r21.md).
+        qdf = df.select(
+            F.col(idc).alias(out), quantize(F.col(vec_col), scale).alias("_qv")
+        )
+        q = F.col("_qv")
         sd = (F.size(q) / n_sub).cast("int")
         parts = F.array(
             *[
@@ -511,7 +519,7 @@ def pq_adc_topk(
                 for m in range(n_sub)
             ]
         )
-        return df.select(F.col(idc).alias(out), F.explode(parts).alias("p")).select(
+        return qdf.select(out, F.explode(parts).alias("p")).select(
             out, "p.m", "p.sq"
         )
 

@@ -1227,7 +1227,15 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     an embedding or packing pass; Catalyst prunes the scan to (doc_id,
     text)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # Tokenize in a SEPARATE projection (referenced multiple times, so
+    # CollapseProject keeps it one per-row evaluation): inlined, the
+    # per-position slice(tokens(text), ...) inside the interpreted
+    # lambda re-runs the regex/split chain once per chunk position, and
+    # Generate planning copies it again into an inferred filter — the
+    # round-21 _span_shingled finding (OPTIMIZATION_r21.md), applied to
+    # the same shape here.
+    t = d.select("doc_id", tokens(F.col("text")).alias("_t"))
+    toks = F.col("_t")
     n = F.size(toks)
     n_chunks = F.when(n <= CHUNK_W, F.lit(1)).otherwise(
         F.ceil((n - CHUNK_W).cast("double") / F.lit(float(CHUNK_S))).cast("int") + 1
@@ -1237,7 +1245,7 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.slice(toks, i * CHUNK_S + 1, CHUNK_W)),
     )
     return (
-        d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        t.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
         .select(
             "doc_id",
             "chunk_id",
