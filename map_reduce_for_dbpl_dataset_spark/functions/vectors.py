@@ -23,18 +23,24 @@ def quantize(vec: Column, scale: int = 1000) -> Column:
 
 
 def dot_q(a: Column, b: Column) -> Column:
-    """Exact integer dot product of two quantized vectors."""
+    """Exact integer dot product of two quantized vectors.
+
+    Elements are widened to long BEFORE the multiply so the math is
+    identical for array<long> and narrowed array<int> inputs (the
+    semdedup pair stage ships int32 vectors to halve shuffle bytes —
+    operators/similarity.py); for long inputs Catalyst's SimplifyCasts
+    removes the no-op cast, so the historical plans are unchanged."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
 
 
 def norm2_q(a: Column) -> Column:
-    """Exact integer squared norm."""
+    """Exact integer squared norm (same widening rule as dot_q)."""
     return F.aggregate(
-        F.transform(a, lambda x: x * x),
+        F.transform(a, lambda x: x.cast("long") * x.cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

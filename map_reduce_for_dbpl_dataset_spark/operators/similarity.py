@@ -36,6 +36,43 @@ N_PLANES = 8
 PAIR_SALT = 32
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
 
+_INT32_MAX = 2_147_483_647
+
+
+def _narrow_q32(q: Column, n2: Column) -> Column:
+    """array<long> -> array<int> for the replicated pair-stage shuffle
+    (guide §2.3 "narrower types": the salted pair join ships every
+    vector PAIR_SALT+1 times, so halving the element width halves the
+    stage's dominant shuffle bytes).
+
+    Exactness bound: the existing integer-dot contract already requires
+    dim * max|qi|^2 <= 2^63 (else norm2_q/dot_q would overflow long),
+    which caps |qi| at sqrt(2^63/dim) — 3.8e8 for dim=64, two orders
+    of magnitude inside int32 (2.147e9). The runtime guard checks the
+    per-ROW implication max|qi| <= sqrt(n2) using the already-computed
+    exact n2 = sum(qi^2): n2 <= (2^31-1)^2 guarantees every element
+    casts losslessly; a violating row raises instead of wrapping
+    (long->int casts wrap silently under non-ANSI semantics). The
+    guard is deliberately CONSERVATIVE (it costs nothing — n2 already
+    exists): it can reject a vector whose norm exceeds the bound even
+    though each element fits, but such a vector has rms element
+    >= 2.7e8 at dim 64 — two orders of magnitude outside any unit-ish
+    embedding at scale=1000, and within 2x of where the exact int64
+    dot itself stops being guaranteed.
+    dot_q/norm2_q widen elements back to long before multiplying, so
+    the arithmetic — and every oracle-checked result — is unchanged."""
+    return F.when(
+        n2 <= F.lit(_INT32_MAX * _INT32_MAX),  # (2^31-1)^2 as a long literal
+        F.transform(q, lambda x: x.cast("int")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "quantized embedding element exceeds int32: the narrowed "
+                "pair-stage shuffle would wrap — widen scale bound"
+            )
+        ).cast("array<int>")
+    )
+
 
 def plane_coef(j: int, i: int, dim: int) -> int:
     return ((_LCG_A * (j * dim + i) + _LCG_C) % _LCG_M) % 1001 - 500
@@ -220,10 +257,7 @@ def semdedup(
     Output: (id_col, cluster, kept)."""
     if (centroid_ids is None) == (centroids is None):
         raise ValueError("pass exactly one of centroid_ids / centroids")
-    c = (
-        corpus.select(F.col(id_col).alias("_id"), quantize(F.col(vec_col), scale).alias("_q"))
-        .withColumn("_n2", norm2_q(F.col("_q")))
-    )
+    c = _semdedup_corpus(corpus, id_col, vec_col, scale)
     if centroids is not None:
         cents = centroids.select(
             F.col("cluster").alias("_cell"),
@@ -287,6 +321,24 @@ def semdedup(
     )
 
 
+def _semdedup_corpus(
+    corpus: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """Quantize + exact-norm + int32-narrow the corpus for semdedup
+    (shared with tools/plan_audit.py semdedup_assign[pre-checkpoint]
+    so the audited subtree is the live construction). The narrow
+    happens BEFORE the assignment/pair pipeline: the pair stage
+    replicates these vectors PAIR_SALT+1 ways through its salted
+    shuffle (guide §2.3; bound + guard at _narrow_q32)."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("_id"), quantize(F.col(vec_col), scale).alias("_q")
+        )
+        .withColumn("_n2", norm2_q(F.col("_q")))
+        .withColumn("_q", _narrow_q32(F.col("_q"), F.col("_n2")))
+    )
+
+
 def _semdedup_assigned(c: DataFrame, cents: DataFrame) -> DataFrame:
     """SemDeDup cell assignment: argmax cosine against the K-row
     codebook, ties to the lower cell — as ONE Arrow-batched numpy
@@ -341,7 +393,7 @@ def _semdedup_assigned(c: DataFrame, cents: DataFrame) -> DataFrame:
                 }
             )
 
-    return c.mapInPandas(assign, "_id long, _q array<long>, _n2 long, cluster long")
+    return c.mapInPandas(assign, "_id long, _q array<int>, _n2 long, cluster long")
 
 
 def lsh_ann_topk(

@@ -1076,19 +1076,14 @@ def _semdedup_assign_plan(spark, sf_dir):
     behind semdedup's lazy lineage cut."""
     from pyspark.sql import functions as F
 
-    from map_reduce_for_dbpl_dataset_spark.functions.vectors import (
-        norm2_q,
-        quantize,
-    )
     from map_reduce_for_dbpl_dataset_spark.operators.similarity import (
         _semdedup_assigned,
+        _semdedup_corpus,
     )
     from map_reduce_for_dbpl_dataset_spark.sources.parquet import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
-    c = e.select(
-        F.col("vec_id").alias("_id"), quantize(F.col("embedding"), 1000).alias("_q")
-    ).withColumn("_n2", norm2_q(F.col("_q")))
+    c = _semdedup_corpus(e, "vec_id", "embedding", 1000)
     cents = c.filter(F.col("_id").isin([30, 31, 32, 33])).select(
         F.col("_id").alias("_cell"),
         F.col("_q").alias("_kq"),
@@ -1225,6 +1220,11 @@ CUSTOM_CHECKS: dict = {
             ("vectorized Arrow matmul assignment", "MapInPandas"),
             ("corpus never shuffles to assign", "!Exchange"),
             ("no cartesian", "!CartesianProduct"),
+            # round-22: pair-stage vectors ship as array<int> (the
+            # salted join replicates them PAIR_SALT+1x; the narrow +
+            # its n2 guard live in _narrow_q32 with the exactness
+            # bound documented there)
+            ("pair vectors narrowed to int32", "as int)"),
         ],
     ),
 }
