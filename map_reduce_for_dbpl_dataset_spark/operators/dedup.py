@@ -402,7 +402,12 @@ def ngram_jaccard_pairs_prefix(
     prefix = spread_for_pair_join(
         ranked.filter(
             F.col("_rk") <= F.col("_sz") - _ceil(F.lit(t) * F.col("_sz")) + 1
-        ),
+        )
+        # strip _df before the spread: the spread pins + replicates
+        # whatever it carries into BOTH sides of the quadratic prefix
+        # fan-out, and _df is dead once the prefix filter has used it
+        # (guide §2.3 "project before the exchange")
+        .select("_id", "_sz", "_rk", "_sh"),
         "_sh",
     )
     a = prefix.select(

@@ -76,6 +76,14 @@ BPE_MERGES = BPE_VOCAB_BUDGET - BPE_BASE_SYMBOLS  # == 8, fixture-pinned
 # row at SPAN doc ids — a stopword's postings become many bounded rows
 # instead of one corpus-sized one).
 POSTINGS_SPAN = 100
+# Broadcast cap for the (word -> piece count) type map in q_bpe_encode:
+# ~1M distinct types ≈ 50-60 MB as a built hash relation (avg word +
+# long + per-row overhead), in line with the session's 64 MB
+# autoBroadcastJoinThreshold.  Checked against a COUNTED cardinality at
+# run time — never a blind hint — so a type vocabulary past the cap
+# falls back to a (word, n_sym)-keyed shuffle join instead of an
+# executor/driver OOM.
+BPE_BROADCAST_TYPE_CAP = 1_000_000
 
 
 def _word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,10 +127,27 @@ def _bpe_rounds(
     )
     # pin the single corpus pass; every round re-reads this K-row table
     w = w.localCheckpoint(eager=False)
-    merges: list[DataFrame] = []
+    # Build ALL R rounds speculatively (lazy checkpoints cut each
+    # round's plan, so the chain stays O(1) per round), then run the
+    # early-stop emptiness check for every round in ONE driver action
+    # (guide §2.6 "keep the driver out of the loop"; round-21 verdict
+    # item 4): the old per-round take(1) cost R sequential
+    # Python->JVM job round-trips — ~3 s of pure scheduling at the
+    # sf1 point — while the semantics only need to know WHERE the
+    # first empty round is.  Emptiness is monotone (an empty best
+    # pair makes the rewrite cross-join empty, so every later round
+    # is empty too), so one pass over the probe rows recovers the
+    # exact table the old loop stopped at, and the degenerate-corpus
+    # contract (round-5 verdict #5) is unchanged: merges stop at the
+    # first empty round and the returned word table is the one from
+    # just before it.  Wasted work in the degenerate case is R-k
+    # rounds over EMPTY tables — scheduling noise, no data.
+    bests: list[DataFrame] = []
+    ws: list[DataFrame] = [w]
     for r in range(1, BPE_MERGES + 1):
         best = (
-            w.select("cnt", F.explode(_adjacent_pairs("seq")).alias("pair"))
+            ws[-1]
+            .select("cnt", F.explode(_adjacent_pairs("seq")).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("cnt").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("pair"))
@@ -130,30 +155,31 @@ def _bpe_rounds(
             .withColumn("round", F.lit(r))
             .localCheckpoint(eager=False)  # reused: output row + rewrite
         )
-        # Production early-stop (round-5 verdict #5 / ADVICE): if the
-        # vocabulary exhausts all adjacent pairs before the budgeted R,
-        # this round's best-pair table is EMPTY — appending it would
-        # propagate emptiness through every downstream cross join and
-        # silently wipe the corpus-wide encode output.  One 1-row
-        # driver check per round over the K-row table (the
-        # operators/graph.py fixpoint pattern); the take() also warms
-        # the lazy checkpoint every later use reads.
-        if not best.take(1):
-            break
-        merges.append(best)
+        bests.append(best)
         pat = F.concat(
             F.lit("("), F.replace(F.col("pair"), F.lit(" "), F.lit(")(")), F.lit(")")
         )
         rep = F.concat(
             F.lit("("), F.replace(F.col("pair"), F.lit(" "), F.lit("~")), F.lit(")")
         )
-        w = (
-            w.crossJoin(F.broadcast(best.select("pair")))
+        ws.append(
+            ws[-1]
+            .crossJoin(F.broadcast(best.select("pair")))
             .withColumn("seq", F.replace(F.col("seq"), pat, rep))
             .select("word", "cnt", "seq")
             .localCheckpoint(eager=False)
         )
-    return merges, w
+    # ONE action materializes every round's checkpoint (<= R probe
+    # rows total — each best is limit(1)) and reveals the first empty
+    # round, if any.
+    probe = bests[0].select("round")
+    for b in bests[1:]:
+        probe = probe.unionByName(b.select("round"))
+    seen = {row["round"] for row in probe.collect()}
+    k = 0
+    while k < BPE_MERGES and (k + 1) in seen:
+        k += 1
+    return bests[:k], ws[k]
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,16 +266,21 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Piece counts are a function of the word TYPE, so compute them
     # once per distinct type — one partial-agg'd distinct over 8-byte-
-    # ish words — and broadcast the (word, n_sym) map back onto the
+    # ish words — and join the (word, n_sym) map back onto the
     # occurrence stream, instead of running the OOV replace chain
     # (regexp seq-encode + R literal replaces + split) on every
     # occurrence.  Occurrences outnumber types ~9x in the fixtures;
-    # the Zipf head makes the ratio grow with the corpus.  The type
-    # table is the corpus's [a-z0-9]+ word-type vocabulary — the
-    # quantity the module docstring already bounds (broadcast-scale
-    # even at web scale; if it ever outgrew that, the same join
-    # degrades to a shuffle on 8-byte word keys, never the corpus).
-    types = w.select("word").distinct()
+    # the Zipf head makes the ratio grow with the corpus.  How the map
+    # returns is decided by a MEASURED cardinality, not a forced hint
+    # (round-21 ADVICE: F.broadcast() is honored regardless of size —
+    # an unbounded type table would OOM, not "degrade"): the distinct
+    # type table is pinned and counted (one driver scalar; the count
+    # IS the materialization the join needs anyway), and only a table
+    # under BPE_BROADCAST_TYPE_CAP rows is broadcast — beyond the cap
+    # (web-scale corpora reach 10^8+ [a-z0-9]+ types) the join-back
+    # shuffles (word, n_sym) keys, never the corpus text.
+    types = w.select("word").distinct().localCheckpoint(eager=False)
+    n_types = types.count()
     t = types.join(F.broadcast(vocab), "word", "left")
     # slow path (out-of-vocab types only): apply the R rules in
     # learned order as a nested literal-replace expression
@@ -281,8 +312,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     word_sym = t.select("word", n_sym.alias("_n_sym"))
+    if n_types <= BPE_BROADCAST_TYPE_CAP:
+        word_sym = F.broadcast(word_sym)
     return (
-        w.join(F.broadcast(word_sym), "word")
+        w.join(word_sym, "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -70,13 +70,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let the planner pick shuffled-hash join when its size guard
-        # (canBuildLocalHashMap) holds: no sort of either shuffled side.
-        # Scale-safe by construction — the guard compares the build
-        # side to advisory-partition-size * partitions, so oversized
-        # sides still plan sort-merge; AQE skew-split handles SHJ too.
-        # Measured: tpch_revenue_by_nation (lineitem ⋈ orders) -15%
-        # at the sf1 point, bucketed joins unaffected (still SMJ over
+        # let the planner pick shuffled-hash join when its size guards
+        # hold: no sort of either shuffled side.  The actual guards
+        # (SparkStrategies.canBuildLocalHashMap + muchSmaller): the
+        # build side's STATS ESTIMATE must be under
+        # autoBroadcastJoinThreshold * shuffle partitions (64 MB * P
+        # here) AND 3x smaller than the other side — estimate-based,
+        # so a bad post-filter underestimate can pick SHJ where a
+        # build partition OOMs a task that SMJ would have spilled;
+        # acceptable here because the estimates at play are plain
+        # parquet scans.  Plan-verified effect of the flip:
+        # dblp_coauthor_components_star's labeling join plans
+        # ShuffledHashJoin (tools/plan_audit.py).  tpch_revenue_by_
+        # nation's lineitem ⋈ orders still plans SortMergeJoin at the
+        # bench SFs (plans/r22/tpch_revenue_by_nation_*_c32_before.txt
+        # — the muchSmaller guard fails there), so no SHJ speedup is
+        # claimed for it.  Bucketed joins unaffected (still SMJ over
         # bucketed scans, no exchange).
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
