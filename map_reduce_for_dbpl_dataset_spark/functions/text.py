@@ -72,20 +72,30 @@ ROLL_B = 131
 ROLL_P = 1_000_000_007
 
 
-def rolling_fingerprint(toks: Column) -> Column:
-    """Order-sensitive document fingerprint: polynomial rolling hash
-    over per-token hash60 values — same-token-multiset docs with
-    different word order get DIFFERENT fingerprints (unlike the md5
-    content fingerprint, which canonicalizes whitespace only).
-    Pure codegen fold (F.aggregate), portable to DuckDB list_reduce.
-    """
-    hs = F.transform(toks, lambda t: hash60(t) % ROLL_P)
+def rolling_fold(hs: Column) -> Column:
+    """Polynomial rolling-hash fold over a per-token hash array.
+    ``hs`` is referenced three times (slice + size + seed), so hot
+    paths should pass a PRE-PROJECTED attribute — expression trees
+    have no sharing, and an inlined per-token md5 array re-evaluates
+    per reference (the q_winnow_pairs lesson, round 22)."""
     rest = F.slice(hs, 2, F.greatest(F.size(hs) - 1, F.lit(0)))
     return F.aggregate(
         rest,
         F.element_at(hs, 1),
         lambda acc, x: (acc * ROLL_B + x) % ROLL_P,
     )
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over per-token hash60 values — same-token-multiset docs with
+    different word order get DIFFERENT fingerprints (unlike the md5
+    content fingerprint, which canonicalizes whitespace only).
+    Pure codegen fold (F.aggregate), portable to DuckDB list_reduce.
+    Single-column convenience form: evaluates the per-token hash array
+    once per REFERENCE in the fold — see rolling_fold for the
+    two-projection form used on corpus-scale paths."""
+    return rolling_fold(F.transform(toks, lambda t: hash60(t) % ROLL_P))
 
 
 STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it", "that", "for")
@@ -104,13 +114,28 @@ def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
 
 
-def langid_expr(toks: Column) -> Column:
-    """n-gram-free language-ID heuristic: stopword-marker voting with a
-    fixed preference order (en > es > de > fr) on ties."""
-    h = {lang: marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+def langid_pick(h: dict[str, Column]) -> Column:
+    """Preference-ordered winner of the stopword-marker vote
+    (en > es > de > fr on ties).  ``h`` maps lang -> vote-count
+    Column.  Callers on a hot path should pass PRE-PROJECTED count
+    columns: each count is referenced up to three times below, and
+    marker_hits is a higher-order function (CodegenFallback — exempt
+    from codegen subexpression elimination), so inlined counts
+    re-evaluate their whole child chain per reference."""
     return (
         F.when((h["en"] >= h["es"]) & (h["en"] >= h["de"]) & (h["en"] >= h["fr"]), "en")
         .when((h["es"] >= h["de"]) & (h["es"] >= h["fr"]), "es")
         .when(h["de"] >= h["fr"], "de")
         .otherwise("fr")
+    )
+
+
+def langid_expr(toks: Column) -> Column:
+    """n-gram-free language-ID heuristic: stopword-marker voting with a
+    fixed preference order (en > es > de > fr) on ties.  Single-column
+    convenience form — evaluates marker_hits (and therefore ``toks``)
+    once per REFERENCE in the pick; see langid_pick for the
+    two-projection form used on corpus-scale paths."""
+    return langid_pick(
+        {lang: marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
     )

@@ -458,12 +458,21 @@ def ngram_jaccard_pairs_prefix(
     # the injectivity the tier-1 bound needs, so it raises (a
     # 2^-64-scale event; the exactness contract requires failing
     # loudly over silently degrading).
+    # harr projected separately (round 22): the collision guard
+    # references it three times (two sizes + the pass-through), and
+    # expression trees have no sharing — inlined, the sort+hash
+    # construction ran 3x per row; bound to an attribute it runs once.
     harr = F.array_sort(
         F.transform(F.array_distinct(F.col(shingle_col)), lambda s: F.xxhash64(s))
     )
     hsets = shingled.select(
-        F.col(id_col).alias("_id"),
-        F.when(F.size(F.array_distinct(harr)) == F.size(harr), harr)
+        F.col(id_col).alias("_id"), harr.alias("_harr")
+    ).select(
+        "_id",
+        F.when(
+            F.size(F.array_distinct(F.col("_harr"))) == F.size(F.col("_harr")),
+            F.col("_harr"),
+        )
         .otherwise(
             F.raise_error(
                 F.lit(

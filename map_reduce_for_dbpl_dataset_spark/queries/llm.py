@@ -28,7 +28,7 @@ from ..functions.text import (
     fingerprint,
     floor6,
     hash60,
-    langid_expr,
+    langid_pick,
     marker_hits,
     normalize_text,
     tokens,
@@ -47,7 +47,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs_prefix,
     simhash_near_pairs,
 )
-from ..functions.text import ROLL_B, ROLL_P, rolling_fingerprint
+from ..functions.text import ROLL_B, ROLL_P, rolling_fold
 from ..operators.pairs import spread_for_pair_join
 from ..operators.similarity import (
     N_PLANES,
@@ -91,9 +91,16 @@ def _docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle derivation is CPU-bound, so spread it across cores first.
     # At 100 TB the scan is naturally split and this repartition drops
     # out (it's a no-op cost next to the derivation either way).
+    # tokens projected separately (round 22): word_shingles references
+    # its argument ~8x (slices + length args + guard), and expression
+    # trees have no sharing, so an inlined tokenize chain re-runs per
+    # reference — bind it to an attribute first (wash-to-slightly-
+    # better locally; structural at scale, and this build feeds every
+    # dedup consumer once per session)
     sh = (
         d.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", word_shingles(tokens(F.col("text")), 3).alias("shingles"))
+        .select("doc_id", tokens(F.col("text")).alias("_t"))
+        .select("doc_id", word_shingles(F.col("_t"), 3).alias("shingles"))
         .persist()
     )
     _SHINGLE_CACHE[key] = sh
@@ -542,7 +549,15 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", rolling_fingerprint(tokens(F.col("text"))).alias("fp"))
+    # two extra projections so the tokenize chain and the per-token
+    # md5 hash array each evaluate ONCE per row (rolling_fold
+    # references its argument 3x; expression trees have no sharing)
+    t = d.select("doc_id", tokens(F.col("text")).alias("_t"))
+    hsdf = t.select(
+        "doc_id",
+        F.transform(F.col("_t"), lambda tok: hash60(tok) % ROLL_P).alias("_hs"),
+    )
+    fp = hsdf.select("doc_id", rolling_fold(F.col("_hs")).alias("fp"))
     return fp.withColumn("n_same_fp", F.count(F.lit(1)).over(Window.partitionBy("fp")))
 
 
@@ -567,13 +582,22 @@ SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp FROM fp
 # --- text analysis -----------------------------------------------------------
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    d = d.select(
+    # normalize + tokenize projected separately so each runs ONCE per
+    # row: marker_hits is a higher-order function (CodegenFallback, no
+    # codegen CSE), so an inlined `toks` re-ran the regex/split chain
+    # for it on top of the codegen-shared copy (r21 spans pattern;
+    # same-session A/B at sf1: 2.43 -> 2.36 s best-of-5)
+    t = d.select("doc_id", normalize_text(F.col("text")).alias("_n")).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        marker_hits(toks, STOPWORDS).alias("n_stop"),
-        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+        F.split(F.col("_n"), " ").alias("_t"),
+        F.length("_n").alias("n_chars_norm"),
+    )
+    d = t.select(
+        "doc_id",
+        F.size("_t").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).alias("n_distinct"),
+        marker_hits(F.col("_t"), STOPWORDS).alias("n_stop"),
+        "n_chars_norm",
     )
     distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
@@ -644,12 +668,14 @@ def q_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return np.floor(q * 1000000.0) / 1000000.0
 
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    base = d.select(
+    # separate token projection: the marker_hits HOF reference would
+    # otherwise re-run the tokenize chain (q_text_stats rationale)
+    t = d.select("doc_id", tokens(F.col("text")).alias("_t"))
+    base = t.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        marker_hits(toks, STOPWORDS).alias("n_stop"),
+        F.size("_t").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).alias("n_distinct"),
+        marker_hits(F.col("_t"), STOPWORDS).alias("n_stop"),
     )
     return base.select(
         "doc_id",
@@ -678,9 +704,29 @@ FROM base
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # Three projections so each expensive piece evaluates ONCE per
+    # row (CollapseProject keeps an alias referenced >1 time): the
+    # inlined form re-ran the tokenize chain once per marker_hits
+    # REFERENCE in the vote cascade (~9 evaluations/row — HOFs are
+    # CodegenFallback, exempt from codegen CSE; measured ~20% of the
+    # query at the sf1 point).
+    t = d.select("doc_id", "lang", tokens(F.col("text")).alias("_t"))
+    votes = t.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_hits(F.col("_t"), m).alias(f"_h_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
     return (
-        d.select("doc_id", F.col("lang").alias("labeled_lang"), langid_expr(toks).alias("predicted_lang"))
+        votes.select(
+            "doc_id",
+            F.col("lang").alias("labeled_lang"),
+            langid_pick(
+                {lang: F.col(f"_h_{lang}") for lang in LANG_MARKERS}
+            ).alias("predicted_lang"),
+        )
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("labeled_lang", "predicted_lang")
@@ -1012,16 +1058,33 @@ def _winnow_fps(corpus: DataFrame) -> DataFrame:
     an empty/short h are empty (m clamped at 0), so docs with < W
     shingles contribute no fingerprints and a separate size(h) >= W
     filter (which would re-evaluate the whole hash chain per row when
-    pushed down) is subsumed.  Shared with tools/plan_audit.py
-    winnow_fps[pre-checkpoint], which audits this subtree ahead of the
-    caller's lineage cut."""
+    pushed down) is subsumed.
+
+    THREE projections, not one (round 22; the r21 spans fix one level
+    deeper): Catalyst expression trees have no sharing, so every
+    syntactic REFERENCE to a subtree is its own copy, and copies under
+    different higher-order-function lambdas (CodegenFallback — exempt
+    from codegen subexpression elimination) each evaluate per row.
+    Inlined, `h` (the tokenize+shingle+md5 chain) appears ~8 times
+    (once per slice, plus each slice's length argument `m`, plus the
+    word_shingles guard), so the md5 chain ran ~8x per row — measured
+    8x on the derivation at the sf1 point (6.2 s -> 0.76 s,
+    value-identical). Projecting `_t` then `_h` separately binds every
+    reference to an attribute; CollapseProject keeps the projections
+    apart because the aliases are non-cheap and referenced more than
+    once. Shared with tools/plan_audit.py winnow_fps[pre-checkpoint],
+    which audits this subtree ahead of the caller's lineage cut."""
     W = WINNOW_W
-    h = F.transform(word_shingles(tokens(F.col("text")), 3), hash60)
+    t = corpus.select("doc_id", tokens(F.col("text")).alias("_t"))
+    hdf = t.select(
+        "doc_id", F.transform(word_shingles(F.col("_t"), 3), hash60).alias("_h")
+    )
+    h = F.col("_h")
     m = F.greatest(F.size(h) - (W - 1), F.lit(0))
     acc = F.slice(h, 1, m)
     for off in range(1, W):
         acc = F.zip_with(acc, F.slice(h, off + 1, m), lambda a, b: F.least(a, b))
-    return corpus.select("doc_id", F.array_distinct(acc).alias("fps"))
+    return hdf.select("doc_id", F.array_distinct(acc).alias("fps"))
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -653,7 +653,13 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect, no per-line window over the corpus.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # Tokenize in a SEPARATE projection (the r21 chunk_overlap fix,
+    # applied to the same shape here in round 22): inlined, the
+    # per-position slice(tokens(text), ...) inside the interpreted
+    # transform lambda re-ran the regex/split chain once per LINE
+    # position, and the size(toks) references added two more copies.
+    td = d.select("doc_id", "source", tokens(F.col("text")).alias("_t"))
+    toks = F.col("_t")
     n_chunks = F.ceil(F.size(toks).cast("double") / F.lit(float(LINE_TOKENS))).cast("int")
     chunks = F.when(F.size(toks) > 0, F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -664,7 +670,7 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks,
         F.array(F.concat(F.lit("footer of "), F.col("source"))),
     )
-    exploded = d.select("doc_id", F.posexplode(lines).alias("pos", "line")).withColumn(
+    exploded = td.select("doc_id", F.posexplode(lines).alias("pos", "line")).withColumn(
         "lk", hash60(F.col("line"))
     )
     line_df = exploded.groupBy("lk").agg(
@@ -2111,9 +2117,15 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise copies the tokenize+shingle chain into an inferred
     # size(...) > 0 filter, re-running the regex/split pass once more
     # per document row.
-    bgs = d.select(
-        "doc_id", word_shingles(tokens(F.col("text")), 2).alias("bgs")
-    ).localCheckpoint(eager=False)
+    # tokens projected separately (round 22): word_shingles references
+    # its argument several times; binding it to an attribute first
+    # keeps the tokenize chain at one evaluation per row (~15% off
+    # this derivation in the sf1 A/B)
+    bgs = (
+        d.select("doc_id", tokens(F.col("text")).alias("_t"))
+        .select("doc_id", word_shingles(F.col("_t"), 2).alias("bgs"))
+        .localCheckpoint(eager=False)
+    )
     big = bgs.select("doc_id", F.explode("bgs").alias("bg")).select(
         "doc_id",
         F.xxhash64("bg").alias("h_bg"),

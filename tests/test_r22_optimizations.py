@@ -65,6 +65,62 @@ def test_narrow_guard_raises_on_oversized_element(spark):
         df.collect()
 
 
+def test_rolling_fold_equals_inline_fingerprint(spark):
+    # round 22 split rolling_fingerprint into a fold over a
+    # pre-projected hash array; both forms must agree value-level
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.functions.text import (
+        ROLL_P,
+        hash60,
+        rolling_fingerprint,
+        rolling_fold,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("single",), ("x y x y x",)], "t string"
+    )
+    t = df.select(tokens(F.col("t")).alias("_t"))
+    split_form = t.select(
+        F.transform(F.col("_t"), lambda tok: hash60(tok) % ROLL_P).alias("_hs")
+    ).select(rolling_fold(F.col("_hs")).alias("fp"))
+    inline_form = df.select(rolling_fingerprint(tokens(F.col("t"))).alias("fp"))
+    assert [r["fp"] for r in split_form.collect()] == [
+        r["fp"] for r in inline_form.collect()
+    ]
+
+
+def test_langid_pick_equals_langid_expr(spark):
+    # round 22 split the vote counting from the pick; the pre-projected
+    # form must agree with the single-column convenience form
+    from pyspark.sql import functions as F
+
+    from map_reduce_for_dbpl_dataset_spark.functions.text import (
+        LANG_MARKERS,
+        langid_expr,
+        langid_pick,
+        marker_hits,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat and the hat",), ("el perro y la casa",),
+         ("der hund und die katze ist",), ("le chien et la maison pour",),
+         ("zzz qqq",)],
+        "t string",
+    )
+    t = df.select(tokens(F.col("t")).alias("_t"))
+    votes = t.select(
+        *[marker_hits(F.col("_t"), m).alias(f"_h_{la}") for la, m in LANG_MARKERS.items()]
+    )
+    picked = votes.select(
+        langid_pick({la: F.col(f"_h_{la}") for la in LANG_MARKERS}).alias("l")
+    )
+    inline = df.select(langid_expr(tokens(F.col("t"))).alias("l"))
+    assert [r["l"] for r in picked.collect()] == [r["l"] for r in inline.collect()]
+
+
 def test_narrow_roundtrip_at_int32_edge(spark):
     # the guard is n2-based and conservative: a SINGLE max-magnitude
     # element sits exactly on the (2^31-1)^2 boundary and must pass
